@@ -1,0 +1,437 @@
+"""Blocking: key derivation, skew analysis, salted + capped pair generation.
+
+Reference: ``splink/internals/blocking.py::BlockingRule, SaltedBlockingRule,
+ExplodingBlockingRule, block_using_rules_sqls`` and
+``splink/internals/blocking_analysis.py`` (public layout; /root/reference
+empty — SURVEY.md §0 / §2.4). The reference renders the self-join
+``concat AS l JOIN concat AS r ON <rule> AND l.unique_id < r.unique_id``
+per rule with ``match_key = rule index`` and the cross-rule exclusion
+``AND NOT (rule_j)`` for j < i.
+
+Ray shape (§3.1): one ``map_batches`` derives all rules' key columns
+(``bk_0..bk_{R-1}``); per rule a hash-exchange on the (possibly salted) key
+co-locates each block, and a vectorized per-bucket pass emits the triangular
+pairs. Skew handling (north_rule):
+
+- **Hot-key detection** — per-batch partial counts → small ``groupby.sum`` →
+  keys with count > ``hot_key_threshold`` collected driver-side (small) and
+  broadcast via ``ray.put``.
+- **Salting** — a hot key with n rows gets P = ceil(n / target) salt slots;
+  each record (salt s = hash(uid) % P) is replicated into the P unordered
+  slot-pairs {(min(s,k), max(s,k))}; subgroup (s1,s2) emits only s1×s2 pairs
+  (triangle when s1==s2), so every pair appears exactly once and no subgroup
+  exceeds ~2·target rows. Property-tested equal to unsalted output.
+- **Capping** — groups still above ``max_pairs_per_block`` emit the first cap
+  pairs in deterministic (sorted unique_id) order; overflow counts are
+  computed exactly from the count table and reported in metrics — never
+  silently dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..blocking_rule_library import BlockingRule
+from ..settings import Settings
+from .exchange import broadcast, default_num_buckets, keyed_map
+
+PG_COL = "__pg"       # pair-group label (key or key + salt-slot pair)
+SALT_COL = "__salt"
+MATCH_KEY_COL = "match_key"
+
+
+def bk_col(i: int) -> str:
+    return f"bk_{i}"
+
+
+# ---------------------------------------------------------------------------
+# key derivation (M3)
+# ---------------------------------------------------------------------------
+
+
+def derive_block_keys(ds, rules: list[BlockingRule]):
+    """Add one string key column per rule in a single vectorized pass."""
+
+    def _add(t: pa.Table) -> pa.Table:
+        for i, rule in enumerate(rules):
+            t = t.append_column(bk_col(i), rule.key_values(t))
+        return t
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def explode_for_rule(ds, rule: BlockingRule):
+    """ExplodingBlockingRule (B5): unnest the rule's array columns so the key
+    expression sees one element per row. Emitted pairs are de-duplicated on
+    (unique_id_l, unique_id_r) afterwards."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        for c in rule.array_columns_to_explode:
+            other = [n for n in t.column_names if n != c]
+            lengths = pc.list_value_length(t[c]).fill_null(0).to_numpy(zero_copy_only=False)
+            idx = np.repeat(np.arange(len(t)), lengths)
+            flat = pc.list_flatten(t[c].combine_chunks())
+            t = t.select(other).take(idx).append_column(c, flat)
+        return t
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# blocking analysis (B7) — counts, skew, overflow
+# ---------------------------------------------------------------------------
+
+
+def rule_key_counts(ds_keys, i: int):
+    """Dataset of (key, n) for rule i — partial per-batch counts, then a tiny
+    groupby-sum (pre-aggregation pattern; never shuffles raw rows)."""
+    c = bk_col(i)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.select([c]).filter(pc.is_valid(t[c]))
+        if len(t) == 0:
+            return pa.table({c: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        g = t.group_by(c, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns([c, "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds_keys.map_batches(_partial, batch_format="pyarrow")
+        .groupby(c)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def count_comparisons_from_blocking_rule(ds_keys, i: int) -> int:
+    """Σ over keys of n·(n−1)/2 — reference
+    ``blocking_analysis.count_comparisons_from_blocking_rule``."""
+    from ray.data.aggregate import Sum
+
+    counts = rule_key_counts(ds_keys, i)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"p": n * (n - 1) / 2})
+
+    out = counts.map_batches(_pairs, batch_format="pyarrow").aggregate(Sum("p", alias_name="p"))
+    return int(out["p"] or 0)
+
+
+def n_largest_blocks(ds_keys, i: int, k: int = 5) -> pd.DataFrame:
+    counts = rule_key_counts(ds_keys, i)
+    return counts.sort("n", descending=True).limit(k).to_pandas()
+
+
+def analyze_rule_skew(
+    ds_keys, i: int, hot_threshold: int, target_rows: int, cap_pairs: int | None
+) -> tuple[dict, dict]:
+    """→ (metrics dict, hot-key → salt-partition-count map) for rule i.
+
+    Metrics include exact overflow counts when capping is enabled, computed
+    from the counts table (so capped pairs are accounted, not lost)."""
+    counts = rule_key_counts(ds_keys, i)
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    def _derived(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "pairs": n * (n - 1) / 2,
+                "one": np.ones(len(t), np.int64),
+                "nmax": n,
+            }
+        )
+
+    agg = counts.map_batches(_derived, batch_format="pyarrow").aggregate(
+        Sum("pairs", alias_name="pairs"),
+        Sum("one", alias_name="n_keys"),
+        Max("nmax", alias_name="largest_block"),
+    )
+    hot = counts.filter(expr=f"n > {hot_threshold}").to_pandas()
+    hot_map = {
+        row[bk_col(i)]: int(np.ceil(row["n"] / target_rows))
+        for _, row in hot.iterrows()
+    }
+    metrics = {
+        "rule": i,
+        "n_keys": int(agg["n_keys"] or 0),
+        "total_pairs_pre_exclusion": int(agg["pairs"] or 0),
+        "largest_block_rows": int(agg["largest_block"] or 0),
+        "n_hot_keys_salted": len(hot_map),
+    }
+    if cap_pairs is not None:
+        # overflow only possible in blocks with pairs > cap
+        over = 0
+        big = counts.filter(expr=f"n > {int((2 * cap_pairs) ** 0.5)}").to_pandas()
+        for nn in big["n"].to_numpy():
+            p = nn * (nn - 1) // 2
+            if p > cap_pairs:
+                over += int(p - cap_pairs)
+        metrics["overflow_pairs_capped"] = over
+    return metrics, hot_map
+
+
+# ---------------------------------------------------------------------------
+# pair generation (B2/B3/B4)
+# ---------------------------------------------------------------------------
+
+
+def _triangle(n: int) -> tuple[np.ndarray, np.ndarray]:
+    return np.triu_indices(n, k=1)
+
+
+def _pairgen_bucket(
+    tbl: pa.Table,
+    rule_idx: int,
+    uid_col: str,
+    out_cols: list[str],
+    earlier_bks: list[str],
+    cap_pairs: int | None,
+    link_type: str,
+    source_col: str,
+) -> pa.Table:
+    """All pair-groups in one bucket → pair table (vectorized index build +
+    two ``take`` calls; no per-row python in the emit path)."""
+    t = tbl.sort_by([(PG_COL, "ascending"), (uid_col, "ascending")])
+    pg = np.asarray(t[PG_COL].to_pylist(), dtype=object)
+    salt = t[SALT_COL].to_numpy(zero_copy_only=False)
+    uid = np.asarray(t[uid_col].to_pylist(), dtype=object)
+
+    change = np.empty(len(pg), bool)
+    change[0] = True
+    change[1:] = pg[1:] != pg[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(pg))
+
+    li_all: list[np.ndarray] = []
+    ri_all: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        label = pg[s]
+        if "\x1e" in label:
+            s1s2 = label.rsplit("\x1e", 1)[1]
+            s1, s2 = (int(x) for x in s1s2.split("_"))
+        else:
+            s1 = s2 = None
+        if s1 is None or s1 == s2:
+            rows = (
+                np.arange(s, e)
+                if s1 is None
+                else np.arange(s, e)[salt[s:e] == s1]
+            )
+            n = rows.size
+            if n < 2:
+                continue
+            a, b = _triangle(n)
+            li, ri = rows[a], rows[b]
+        else:
+            rows_a = np.arange(s, e)[salt[s:e] == s1]
+            rows_b = np.arange(s, e)[salt[s:e] == s2]
+            if rows_a.size == 0 or rows_b.size == 0:
+                continue
+            li = np.repeat(rows_a, rows_b.size)
+            ri = np.tile(rows_b, rows_a.size)
+            # orient so uid_l < uid_r (rows are uid-sorted within the group,
+            # but cross-slot order is arbitrary)
+            swap = li > ri
+            li2 = np.where(swap, ri, li)
+            ri = np.where(swap, li, ri)
+            li = li2
+        if cap_pairs is not None and li.size > cap_pairs:
+            li, ri = li[:cap_pairs], ri[:cap_pairs]
+        li_all.append(li)
+        ri_all.append(ri)
+
+    if li_all:
+        li = np.concatenate(li_all)
+        ri = np.concatenate(ri_all)
+    else:
+        li = ri = np.array([], np.int64)
+
+    take_cols = [uid_col] + out_cols + earlier_bks
+    lt = t.select(take_cols).take(pa.array(li))
+    rt = t.select(take_cols).take(pa.array(ri))
+
+    keep = np.ones(len(li), bool)
+    if link_type == "link_only" and source_col in out_cols:
+        keep &= ~pc.equal(lt[source_col], rt[source_col]).to_numpy(zero_copy_only=False)
+    # cross-rule exclusion (B3): drop pairs already produced by earlier rules
+    for c in earlier_bks:
+        eq = pc.and_(
+            pc.and_(pc.is_valid(lt[c]), pc.is_valid(rt[c])),
+            pc.equal(lt[c], rt[c]),
+        )
+        keep &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+
+    data = {f"{uid_col}_l": lt[uid_col], f"{uid_col}_r": rt[uid_col]}
+    for c in out_cols:
+        data[f"{c}_l"] = lt[c]
+        data[f"{c}_r"] = rt[c]
+    data[MATCH_KEY_COL] = pa.array(np.full(len(li), rule_idx, np.int32), pa.int32())
+    out = pa.table(data)
+    if not keep.all():
+        out = out.filter(pa.array(keep))
+    return out
+
+
+class _SaltExpander:
+    """map_batches fn: replicate hot-key rows across salt-slot pairs.
+
+    Hot-key map is broadcast once via ``ray.put`` and fetched per worker
+    process (not per batch)."""
+
+    def __init__(self, hot_ref, key_c: str, uid_col: str):
+        import ray
+
+        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
+        self.key_c = key_c
+        self.uid_col = uid_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        key_c, uid_col = self.key_c, self.uid_col
+        t = t.filter(pc.is_valid(t[key_c]))
+        if len(t) == 0:
+            out = t.append_column(PG_COL, pa.array([], pa.string()))
+            return out.append_column(SALT_COL, pa.array([], pa.int32()))
+        keys = np.asarray(t[key_c].to_pylist(), dtype=object)
+        if not self.hot:
+            return t.append_column(PG_COL, pa.array(keys, pa.string())).append_column(
+                SALT_COL, pa.array(np.zeros(len(t), np.int32))
+            )
+        default_p = self.hot.get("*", 1)
+        ps = np.fromiter((self.hot.get(k, default_p) for k in keys), np.int64, len(keys))
+        plain = ps == 1
+        out_parts = []
+        if plain.any():
+            tp = t.filter(pa.array(plain))
+            out_parts.append(
+                tp.append_column(PG_COL, pa.array(keys[plain], pa.string())).append_column(
+                    SALT_COL, pa.array(np.zeros(int(plain.sum()), np.int32))
+                )
+            )
+        hot_idx = np.flatnonzero(~plain)
+        if hot_idx.size:
+            uids = np.asarray(t[uid_col].to_pylist(), dtype=object)[hot_idx]
+            salts = (
+                pd.util.hash_array(uids, categorize=False)
+                % ps[hot_idx].astype(np.uint64)
+            ).astype(np.int64)
+            rep_rows, labels, rep_salts = [], [], []
+            for row, k, p, s in zip(hot_idx, keys[hot_idx], ps[hot_idx], salts):
+                for other in range(p):
+                    a, b = (s, other) if s <= other else (other, s)
+                    rep_rows.append(row)
+                    labels.append(f"{k}\x1e{a}_{b}")
+                    rep_salts.append(s)
+            th = t.take(pa.array(np.asarray(rep_rows)))
+            out_parts.append(
+                th.append_column(PG_COL, pa.array(labels, pa.string())).append_column(
+                    SALT_COL, pa.array(np.asarray(rep_salts, np.int32))
+                )
+            )
+        return pa.concat_tables(out_parts)
+
+
+def generate_pairs(
+    records_ds,
+    settings: Settings,
+    num_buckets: int | None = None,
+    analyze_skew: bool = True,
+    collect_metrics: bool = True,
+):
+    """Records Dataset → candidate-pair Dataset + blocking metrics.
+
+    The pair table has column doubling (``c_l`` / ``c_r``) for every column
+    the comparisons need, plus ``match_key`` (SURVEY.md §1.3)."""
+    rules = settings.blocking_rules_to_generate_predictions
+    if not rules:
+        raise ValueError("no blocking rules configured")
+    uid = settings.unique_id_column_name
+    out_cols = sorted(settings.columns_needed() - {uid})
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    metrics: dict = {"rules": []}
+    non_exploding = [r for r in rules if not r.is_exploding]
+    plain_keys = derive_block_keys(records_ds, rules) if non_exploding else None
+    pair_dss = []
+    for i, rule in enumerate(rules):
+        if rule.is_exploding:
+            ds_keys = derive_block_keys(explode_for_rule(records_ds, rule), rules)
+        else:
+            ds_keys = plain_keys
+        key_c = bk_col(i)
+        hot_map: dict = {}
+        if analyze_skew or collect_metrics:
+            m, hot_map = analyze_rule_skew(
+                ds_keys,
+                i,
+                settings.hot_key_threshold,
+                settings.target_rows_per_salted_block,
+                settings.max_pairs_per_block,
+            )
+            metrics["rules"].append(m)
+        if rule.salting_partitions > 1:
+            # static salting hint: salt every key of this rule
+            hot_map = {"*": rule.salting_partitions, **hot_map}
+        hot_ref = broadcast(hot_map) if hot_map else None
+
+        expanded = ds_keys.map_batches(
+            _SaltExpander,
+            batch_format="pyarrow",
+            concurrency=(1, max(2, default_num_buckets() // 3)),
+            fn_constructor_kwargs={"hot_ref": hot_ref, "key_c": key_c, "uid_col": uid},
+        )
+        earlier = [bk_col(j) for j in range(i)]
+
+        def _mk(rule_idx, earlier_bks):
+            def _pg(t: pa.Table) -> pa.Table:
+                return _pairgen_bucket(
+                    t,
+                    rule_idx,
+                    uid,
+                    out_cols,
+                    earlier_bks,
+                    settings.max_pairs_per_block,
+                    settings.link_type,
+                    settings.source_dataset_column_name,
+                )
+
+            return _pg
+
+        pairs_i = keyed_map(expanded, PG_COL, _mk(i, earlier), num_buckets=num_buckets)
+        if rule.is_exploding:
+            pairs_i = dedupe_pairs(pairs_i, uid, num_buckets)
+        pair_dss.append(pairs_i)
+
+    pairs = pair_dss[0]
+    for p in pair_dss[1:]:
+        pairs = pairs.union(p)
+    return pairs, metrics
+
+
+def dedupe_pairs(pairs_ds, uid: str, num_buckets: int | None = None):
+    """Exact pair-id dedup for exploding rules (B5): keep first by match_key."""
+
+    def _first(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t[f"{uid}_l"], t[f"{uid}_r"], "\x1f")
+        t = t.append_column("__pair", key)
+        t = t.sort_by([("__pair", "ascending"), (MATCH_KEY_COL, "ascending")])
+        p = np.asarray(t["__pair"].to_pylist(), dtype=object)
+        keep = np.empty(len(p), bool)
+        if len(p):
+            keep[0] = True
+            keep[1:] = p[1:] != p[:-1]
+        return t.filter(pa.array(keep)).drop_columns(["__pair"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t[f"{uid}_l"], t[f"{uid}_r"], "\x1f")
+        return t.append_column("__pairkey", key)
+
+    ds = pairs_ds.map_batches(_key, batch_format="pyarrow")
+    out = keyed_map(ds, "__pairkey", _first, num_buckets=num_buckets)
+    return out.drop_columns(["__pairkey"])

@@ -1,0 +1,112 @@
+"""Keyed exchange: hash-bucket co-location without per-group dispatch.
+
+Ray Data's ``groupby(key).map_groups(fn)`` calls ``fn`` once per *group* —
+per-call overhead that dominates when groups are tiny (millions of conv_ids
+or blocking keys). ``repartition(keys=...)`` co-locates cheaply but requires
+the HASH_SHUFFLE strategy, which deadlocks ``map_groups`` at low CPU counts
+(verified on Ray 2.49.2 local mode).
+
+The portable pattern (ray_guide.md "Joins and lookups"): add a deterministic
+coarse bucket column ``__bucket = hash(key) % B`` in ``map_batches``, then
+``groupby("__bucket").map_groups(fn)`` — one call per bucket, with ``fn``
+processing *all* key-groups in the bucket vectorized. B is sized from cluster
+CPUs so a bucket ≈ rows/B fits a worker's heap; the shuffle key is the single
+int bucket column (cheap sort exchange).
+
+Determinism: pandas.util.hash_array (SipHash, fixed key) — stable across
+processes, Python versions and PYTHONHASHSEED.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BUCKET_COL = "__bucket"
+
+
+def default_parallelism() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 8
+
+
+def default_num_buckets(num_rows_hint: int | None = None) -> int:
+    """2–4 buckets per CPU (SURVEY.md §4.2.1), bounded below for tiny data."""
+    b = default_parallelism() * 3
+    if num_rows_hint is not None:
+        b = min(b, max(1, num_rows_hint // 100 + 1))
+    return max(2, b)
+
+
+def hash_bucket_array(keys: pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic uint32 bucket per key value (nulls → bucket 0; callers
+    filter null keys before or after as semantics demand)."""
+    vals = keys.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def add_bucket_column(
+    ds, key_col: str, num_buckets: int, bucket_col: str = BUCKET_COL
+):
+    """``ds`` + deterministic bucket column derived from ``key_col``."""
+
+    def _add(t: pa.Table) -> pa.Table:
+        arr = t[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return t.append_column(bucket_col, pa.array(hash_bucket_array(arr, num_buckets)))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def keyed_map(
+    ds,
+    key_col: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int | None = None,
+    drop_bucket: bool = True,
+    **map_groups_kwargs,
+):
+    """Hash-exchange ``ds`` on ``key_col`` and run ``fn`` once per bucket.
+
+    ``fn`` receives a ``pa.Table`` containing *every* row of each key that
+    hashes to the bucket (keys are never split across buckets) and returns a
+    ``pa.Table``. This is the workhorse for canonicalize and pair generation
+    (SURVEY.md §3.1 Ray shape).
+    """
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    ds = add_bucket_column(ds, key_col, num_buckets)
+
+    if drop_bucket:
+        inner = fn
+
+        def fn_wrap(t: pa.Table) -> pa.Table:
+            out = inner(t.drop_columns([BUCKET_COL]))
+            return out
+    else:
+        fn_wrap = fn
+
+    return ds.groupby(BUCKET_COL).map_groups(fn_wrap, batch_format="pyarrow", **map_groups_kwargs)
+
+
+def broadcast(obj):
+    """``ray.put`` once on the driver; workers ``ray.get`` per actor/process.
+
+    Small-side lookup broadcast (TF tables, hot-key maps, new-records batch) —
+    never re-shipped per batch (task brief / SURVEY.md §2.7 T2).
+    """
+    import ray
+
+    return ray.put(obj)

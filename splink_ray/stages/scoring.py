@@ -1,0 +1,122 @@
+"""Comparison-vector computation + Fellegi-Sunter scoring, fused.
+
+Reference: ``splink/internals/comparison_vector_values.py::
+compute_comparison_vector_values_sql`` (V1) and ``splink/internals/
+predict.py::predict_from_comparison_vectors_sqls`` (§2.5/§2.6; /root/reference
+empty — SURVEY.md §0). The reference materializes gammas then scores in a
+second CTE; here both run in ONE ``map_batches`` pass over each zero-copy
+Arrow pair batch — gamma cascade (ordered first-true-wins, vectorized) then
+log2-Bayes-factor accumulation — so the pair table is scanned once.
+
+Stateful actor pool: each actor holds the model settings, an embedded
+single-thread DuckDB connection for string kernels, and the term-frequency
+lookup tables (fetched once per actor from ``ray.put`` refs — broadcast, not
+re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..model import score_gamma_table
+from ..settings import Settings, make_eval_context
+
+
+class GammaScorer:
+    """Callable class for ``map_batches(GammaScorer, concurrency=(m, n),
+    fn_constructor_kwargs=...)``."""
+
+    def __init__(
+        self,
+        settings: Settings,
+        tf_refs: dict | None = None,
+        compute_score: bool = True,
+        keep_cols: list | None = None,
+    ):
+        self.settings = settings
+        self.ctx = make_eval_context(settings)
+        self.compute_score = compute_score
+        self.keep_cols = keep_cols
+        self.tf_maps: dict[str, dict] = {}
+        if tf_refs:
+            import ray
+
+            self.tf_maps = {c: ray.get(ref) for c, ref in tf_refs.items()}
+
+    def _tf_lookup(self, pairs: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+        m = self.tf_maps.get(column)
+        if m is None:
+            n = len(pairs)
+            return np.full(n, np.nan), np.full(n, np.nan)
+        tl = pd.Series(pairs[f"{column}_l"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
+        tr = pd.Series(pairs[f"{column}_r"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
+        return tl, tr
+
+    def __call__(self, pairs: pa.Table) -> pa.Table:
+        s = self.settings
+        gammas: dict[str, np.ndarray] = {}
+        tf_values: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for comp in s.comparisons:
+            gammas[comp.gamma_column_name] = comp.compute_gamma(pairs, self.ctx)
+            tf_cols = {
+                lv.tf_adjustment_column
+                for lv in comp.comparison_levels
+                if lv.tf_adjustment_column
+            }
+            if tf_cols:
+                tf_values[comp.output_column_name] = self._tf_lookup(pairs, tf_cols.pop())
+
+        out = pairs
+        if self.keep_cols is not None:
+            out = out.select([c for c in self.keep_cols if c in out.column_names])
+        for name, g in gammas.items():
+            out = out.append_column(name, pa.array(g, pa.int32()))
+        if self.compute_score:
+            scores = score_gamma_table(s, gammas, tf_values)
+            for name in sorted(scores):
+                out = out.append_column(name, pa.array(scores[name], pa.float64()))
+        return out
+
+
+def score_pairs(
+    pairs_ds,
+    settings: Settings,
+    tf_refs: dict | None = None,
+    threshold_match_probability: float | None = None,
+    threshold_match_weight: float | None = None,
+    batch_size: int = 16384,
+    concurrency=None,
+):
+    """pair Dataset → + gamma_* / match_weight / match_probability columns.
+
+    Column retention follows ``settings.retain_matching_columns`` /
+    ``retain_intermediate_calculation_columns`` (M5).
+    """
+    uid = settings.unique_id_column_name
+    keep = None
+    if not settings.retain_matching_columns:
+        keep = [f"{uid}_l", f"{uid}_r", "match_key"]
+    if concurrency is None:
+        from .exchange import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
+    scored = pairs_ds.map_batches(
+        GammaScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={
+            "settings": settings,
+            "tf_refs": tf_refs,
+            "keep_cols": keep,
+        },
+    )
+    if threshold_match_probability is not None:
+        scored = scored.filter(expr=f"match_probability >= {threshold_match_probability}")
+    elif threshold_match_weight is not None:
+        scored = scored.filter(expr=f"match_weight >= {threshold_match_weight}")
+    return scored
