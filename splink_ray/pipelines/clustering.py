@@ -1,0 +1,313 @@
+"""Clustering: connected components over thresholded predictions (C1/C2) and
+graph metrics (C3).
+
+Reference: ``splink/internals/connected_components.py::
+solve_connected_components`` (iterative SQL min-label propagation),
+``splink/internals/clustering.py`` + ``…/linker_components/clustering.py::
+cluster_pairwise_predictions_at_threshold``, ``…/graph_metrics.py``
+(/root/reference empty — SURVEY.md §0 / §2.9).
+
+Semantics reproduced exactly: edges = pairs with match_probability ≥ t;
+cluster_id = MIN unique_id of the component (stable across reruns).
+
+Two solvers:
+- **local** — driver-side union-find over the edge list; the edge list after
+  thresholding is usually tiny relative to the input (matches are rare), and
+  the record table itself is never pulled to the driver — the uid→rep map is
+  broadcast (``ray.put``) and applied in ``map_batches``.
+- **distributed** — iterative min-label propagation as Dataset ops:
+  per round ``msgs = edges ⋈ labels; labels' = min over (labels ∪ msgs)``
+  grouped by node; convergence via an order-independent checksum aggregate
+  (no extra join); ``materialize()`` + optional parquet checkpoint per round
+  so a killed job resumes at the last completed round (north_rule).
+  O(diameter) rounds — fine for ER graphs (SURVEY.md §7.4 watch item).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.exchange import broadcast
+
+
+def _threshold_edges(predictions_ds, threshold: float | None, uid: str):
+    ds = predictions_ds
+    if threshold is not None:
+        ds = ds.filter(expr=f"match_probability >= {threshold}")
+    return ds.select_columns([f"{uid}_l", f"{uid}_r"])
+
+
+# ---------------------------------------------------------------------------
+# local union-find
+# ---------------------------------------------------------------------------
+
+
+class _DSU:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # min-id root → cluster_id = min unique_id in component
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def _components_local(edges_df: pd.DataFrame, uid: str) -> dict:
+    dsu = _DSU()
+    for a, b in zip(edges_df[f"{uid}_l"], edges_df[f"{uid}_r"]):
+        dsu.union(a, b)
+    return {x: dsu.find(x) for x in dsu.parent} | {
+        x: dsu.find(x) for x in set(edges_df[f"{uid}_l"]) | set(edges_df[f"{uid}_r"])
+    }
+
+
+# ---------------------------------------------------------------------------
+# distributed min-label propagation
+# ---------------------------------------------------------------------------
+
+
+def _checksum(labels_ds) -> int:
+    """Order-independent int checksum of (node, rep) — convergence check
+    without a self-join."""
+
+    def _h(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["node"], t["rep"], "\x1f")
+        h = pd.util.hash_array(np.asarray(key.to_pylist(), dtype=object))
+        # wrap the uint64 sum into int64 so it fits an Arrow int64 column;
+        # wraparound is fine — we only compare checksums for equality
+        s = int(h.sum(dtype=np.uint64).astype(np.int64))
+        return pa.table({"h": pa.array([s], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = labels_ds.map_batches(_h, batch_format="pyarrow").aggregate(Sum("h", alias_name="h"))
+    return int(out["h"] or 0)
+
+
+def _components_distributed(
+    edges_ds,
+    nodes_ds,
+    uid: str,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+):
+    """→ Dataset (node, rep). Resumes from the highest checkpointed round."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..stages.exchange import default_parallelism
+
+    if num_partitions is None:
+        # joins pay per-partition fixed cost; size to the actual cluster
+        num_partitions = max(2, default_parallelism() // 2)
+
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t[f"{uid}_l"].combine_chunks(), t[f"{uid}_r"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t[f"{uid}_r"].combine_chunks(), t[f"{uid}_l"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges_sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    start_round = 0
+    labels = None
+    if checkpoint_dir:
+        done = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith("round=") and os.path.exists(os.path.join(checkpoint_dir, d, "_DONE"))
+        ) if os.path.isdir(checkpoint_dir) else []
+        if done:
+            start_round = done[-1]
+            labels = rd.read_parquet(os.path.join(checkpoint_dir, f"round={start_round}"))
+    if labels is None:
+        labels = nodes_ds.map_batches(
+            lambda t: pa.table({"node": t[uid], "rep": t[uid]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    prev_sum = _checksum(labels)
+    rounds = start_round
+    for rounds in range(start_round + 1, max_rounds + 1):
+        msgs = edges_sym.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("nbr",), right_on=("node",), right_suffix="_lab",
+        ).select_columns(["node", "rep"])
+        cand = labels.union(msgs)
+        # materialize before branching: the jump join reads this twice
+        labels = cand.groupby("node").aggregate(Min("rep", alias_name="rep")).materialize()
+        # pointer jumping: rep ← rep(rep). Every rep value is itself a node
+        # (labels are min-of-node-ids), so the self-join hits exactly one row;
+        # this turns O(diameter) rounds into O(log diameter).
+        jumped = labels.join(
+            labels.rename_columns({"node": "jnode", "rep": "jrep"}),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("rep",),
+            right_on=("jnode",),
+        )
+
+        def _take_jump(t: pa.Table) -> pa.Table:
+            rep2 = pc.coalesce(
+                pc.min_element_wise(t["rep"], t["jrep"]), t["rep"]
+            )
+            return pa.table({"node": t["node"], "rep": rep2})
+
+        labels = jumped.map_batches(_take_jump, batch_format="pyarrow").materialize()
+        if checkpoint_dir:
+            out = os.path.join(checkpoint_dir, f"round={rounds}")
+            labels.write_parquet(out)
+            open(os.path.join(out, "_DONE"), "w").close()
+        cur = _checksum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairwise_predictions_at_threshold(
+    records_ds,
+    predictions_ds,
+    threshold_match_probability: float | None = 0.95,
+    uid: str = "unique_id",
+    method: str = "auto",
+    local_edge_limit: int = 2_000_000,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+):
+    """→ (clustered Dataset: records + ``cluster_id``, info dict).
+
+    ``cluster_id`` = min unique_id of the connected component (singleton
+    records cluster with themselves) — identical to the reference's
+    representative rule."""
+    edges = _threshold_edges(predictions_ds, threshold_match_probability, uid)
+
+    if method == "auto":
+        n_edges = edges.count()
+        method = "local" if n_edges <= local_edge_limit else "distributed"
+        edges = _threshold_edges(predictions_ds, threshold_match_probability, uid)
+
+    info = {"method": method}
+    if method == "local":
+        edf = edges.to_pandas()
+        rep_map = _components_local(edf, uid)
+        ref = broadcast(rep_map)
+
+        class _Assign:
+            def __init__(self, ref):
+                import ray
+
+                self.map = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                uids = t[uid].to_pylist()
+                reps = [self.map.get(x, x) for x in uids]
+                return t.append_column("cluster_id", pa.array(reps, pa.string()))
+
+        clustered = records_ds.map_batches(
+            _Assign,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"ref": ref},
+        )
+        info["n_edges"] = len(edf)
+        return clustered, info
+
+    nodes = records_ds.select_columns([uid])
+    labels, rounds = _components_distributed(
+        edges, nodes, uid, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    )
+    info["rounds"] = rounds
+    from ..stages.exchange import default_parallelism
+
+    clustered = records_ds.join(
+        labels.rename_columns({"node": uid, "rep": "cluster_id"}),
+        join_type="left_outer",
+        num_partitions=max(2, default_parallelism() // 2),
+        on=(uid,),
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t["cluster_id"], t[uid])
+        return t.set_column(t.column_names.index("cluster_id"), "cluster_id", cid)
+
+    return clustered.map_batches(_fill, batch_format="pyarrow"), info
+
+
+def compute_graph_metrics(predictions_ds, clustered_ds, threshold: float, uid: str = "unique_id"):
+    """Node degree + per-cluster size/density/centralisation inputs (C3).
+
+    Reference: ``splink/internals/graph_metrics.py``. Returns dict of small
+    pandas DataFrames {"nodes", "clusters"}."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = _threshold_edges(predictions_ds, threshold, uid)
+
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t[f"{uid}_l"].combine_chunks(), t[f"{uid}_r"].combine_chunks()]
+                )
+            }
+        )
+
+    degree = (
+        edges.map_batches(_sym, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="degree"))
+        .to_pandas()
+    )
+
+    clusters = (
+        clustered_ds.groupby("cluster_id")
+        .aggregate(Count(alias_name="n_nodes"))
+        .to_pandas()
+    )
+    cl_map = clustered_ds.select_columns([uid, "cluster_id"]).to_pandas()
+    e = edges.to_pandas().merge(
+        cl_map.rename(columns={uid: f"{uid}_l", "cluster_id": "cl"}), on=f"{uid}_l"
+    )
+    ec = e.groupby("cl").size().rename("n_edges").reset_index()
+    clusters = clusters.merge(ec, left_on="cluster_id", right_on="cl", how="left").drop(
+        columns=["cl"]
+    )
+    clusters["n_edges"] = clusters["n_edges"].fillna(0).astype(int)
+    n = clusters["n_nodes"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clusters["density"] = np.where(
+            n > 1, 2 * clusters["n_edges"] / (n * (n - 1)), np.nan
+        )
+    return {"nodes": degree, "clusters": clusters}

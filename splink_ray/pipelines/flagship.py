@@ -37,12 +37,12 @@ def transcript_settings(
         [
             cll.NullLevel("first_user_text"),
             cll.JaroWinklerLevel(
-                "first_user_text", 0.95, m_probability=0.75, u_probability=0.001
+                "first_user_text", 0.95, m_probability=0.9, u_probability=1e-4
             ),
             cll.JaroWinklerLevel(
-                "first_user_text", 0.88, m_probability=0.15, u_probability=0.002
+                "first_user_text", 0.88, m_probability=0.05, u_probability=1e-3
             ),
-            cll.ElseLevel(m_probability=0.1, u_probability=0.997),
+            cll.ElseLevel(m_probability=0.05, u_probability=0.9989),
         ],
     )
     tools = Comparison(
@@ -65,10 +65,13 @@ def transcript_settings(
         "ts_min",
         [
             cll.NullLevel("ts_min"),
+            # copies jitter ±3h from the entity base time → within-entity
+            # spread < 6h always; same-day strangers often share the exact
+            # base time, so u is high — weakly discriminative by design
             cll.AbsoluteTimeDifferenceLevel(
-                "ts_min", 4, "hour", m_probability=0.9, u_probability=0.05
+                "ts_min", 8, "hour", m_probability=0.95, u_probability=0.5
             ),
-            cll.ElseLevel(m_probability=0.1, u_probability=0.95),
+            cll.ElseLevel(m_probability=0.05, u_probability=0.5),
         ],
     )
     rules = [block_on("ts_day")]

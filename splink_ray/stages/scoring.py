@@ -97,7 +97,11 @@ def score_pairs(
     uid = settings.unique_id_column_name
     keep = None
     if not settings.retain_matching_columns:
-        keep = [f"{uid}_l", f"{uid}_r", "match_key"]
+        keep = [f"{uid}_l", f"{uid}_r", "match_key"] + [
+            f"{c}_{s}"
+            for c in settings.additional_columns_to_retain
+            for s in ("l", "r")
+        ]
     if concurrency is None:
         from .exchange import default_parallelism
 
