@@ -1,0 +1,165 @@
+"""Stage checkpoints with manifests — resumable pipelines.
+
+The reference caches intermediate tables by SQL-hash within a session
+(``splink/internals/pipeline.py::CTEPipeline``,
+``…/cache_dict_with_logging.py``) but has NO cross-run resume; the north_rule
+requires it ("a killed job resumes without rescoring completed blocks").
+
+Layout (SURVEY.md §4.2.4)::
+
+    {run_dir}/{stage}/data/part-*.parquet # the stage output
+    {run_dir}/{stage}/manifest.json       # config hash, input hash, rows,
+                                          # metrics, wall time
+    {run_dir}/{stage}/_DONE               # written last → atomic completion
+
+A stage whose manifest matches (same stage key = config hash ⊕ input key) is
+skipped on rerun and its parquet is read back instead of recomputing. Writes
+go to ``{stage}.tmp`` and are renamed into place, so a kill mid-write leaves
+no half-stage that could be mistaken for complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class RunCheckpoint:
+    def __init__(self, run_dir: str, config_key: str):
+        self.run_dir = run_dir
+        self.config_key = config_key
+        os.makedirs(run_dir, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def is_complete(self, stage: str, input_key: str = "") -> bool:
+        d = self._stage_dir(stage)
+        if not os.path.exists(os.path.join(d, "_DONE")):
+            return False
+        try:
+            with open(os.path.join(d, "manifest.json")) as f:
+                m = json.load(f)
+        except Exception:
+            return False
+        return m.get("config_key") == self.config_key and m.get("input_key") == input_key
+
+    def manifest(self, stage: str) -> dict | None:
+        try:
+            with open(os.path.join(self._stage_dir(stage), "manifest.json")) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    def load(self, stage: str):
+        import ray.data as rd
+
+        return rd.read_parquet(os.path.join(self._stage_dir(stage), "data"))
+
+    def save(self, stage: str, ds, input_key: str = "", metrics: dict | None = None):
+        """Write ``ds`` as the stage output atomically; returns the re-read
+        Dataset (so downstream reads parquet, not re-executed lineage)."""
+        d = self._stage_dir(stage)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        t0 = time.time()
+        data_dir = os.path.join(tmp, "data")
+        ds.write_parquet(data_dir)
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for f in os.listdir(data_dir):
+            if f.endswith(".parquet"):
+                rows += pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        manifest = {
+            "stage": stage,
+            "config_key": self.config_key,
+            "input_key": input_key,
+            "rows": rows,
+            "wall_seconds": round(time.time() - t0, 3),
+            "metrics": metrics or {},
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        os.rename(tmp, d)
+        open(os.path.join(d, "_DONE"), "w").close()
+        return self.load(stage)
+
+    def stage(self, name: str, compute_fn, input_key: str = "", metrics_fn=None):
+        """Run-or-load: ``compute_fn() -> Dataset`` executes only when the
+        stage isn't already complete for this config+input."""
+        if self.is_complete(name, input_key):
+            return self.load(name), True
+        ds = compute_fn()
+        metrics = metrics_fn() if metrics_fn else None
+        return self.save(name, ds, input_key=input_key, metrics=metrics), False
+
+
+def predict_with_checkpoints(
+    records_ds,
+    settings,
+    run_dir: str,
+    threshold_match_probability: float | None = None,
+    cluster_threshold: float | None = None,
+    num_buckets: int | None = None,
+):
+    """Checkpointed flagship flow: records → scored pairs [→ clusters].
+
+    Each stage is skipped on rerun when its manifest matches the settings'
+    config hash; connected components additionally checkpoints per round
+    under ``{run_dir}/cc/``. Returns (final Dataset, info dict)."""
+    from ..pipelines.predict import predict
+    from ..pipelines.clustering import cluster_pairwise_predictions_at_threshold
+
+    ck = RunCheckpoint(run_dir, settings.config_hash())
+    info: dict = {"skipped": []}
+
+    def _records():
+        return records_ds
+
+    records, skipped = ck.stage("records", _records)
+    if skipped:
+        info["skipped"].append("records")
+
+    metrics_box = {}
+
+    def _scored():
+        scored, metrics = predict(
+            records,
+            settings,
+            threshold_match_probability=threshold_match_probability,
+            num_buckets=num_buckets,
+            materialize_records=False,
+        )
+        metrics_box.update(metrics)
+        return scored
+
+    scored, skipped = ck.stage("scored", _scored, metrics_fn=lambda: metrics_box)
+    if skipped:
+        info["skipped"].append("scored")
+    info["blocking_metrics"] = (ck.manifest("scored") or {}).get("metrics")
+
+    if cluster_threshold is None:
+        return scored, info
+
+    def _clustered():
+        clustered, cinfo = cluster_pairwise_predictions_at_threshold(
+            records,
+            scored,
+            cluster_threshold,
+            uid=settings.unique_id_column_name,
+            checkpoint_dir=os.path.join(run_dir, "cc"),
+        )
+        info["clustering"] = cinfo
+        return clustered
+
+    clustered, skipped = ck.stage("clustered", _clustered)
+    if skipped:
+        info["skipped"].append("clustered")
+    return clustered, info
