@@ -1,0 +1,125 @@
+"""Text analysis functions for large-scale corpus pipelines.
+
+No splink analogue — these are the training-data operators the task brief
+requires as first-class components: language-ID (n-gram/stopword heuristic),
+quality scoring (length/punct/stopword ratios), token counting (whitespace +
+a BPE-ish regex), and document fingerprinting (rolling hash).
+
+All functions take a ``pyarrow`` string array (or python list) and return
+numpy arrays / arrow arrays — vectorized with ``pyarrow.compute`` where a
+kernel exists; the SQL renderings used by the driver oracle live next to the
+queries in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token pattern: word pieces or single non-space punctuation
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+_PUNct = r"[^\w\s]"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"],
+    "es": ["el", "la", "los", "y", "es", "que", "por", "con", "para", "una"],
+}
+
+
+def _as_array(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        return texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        return texts
+    return pa.array(texts, pa.string())
+
+
+def token_count(texts, pattern: str = TOKEN_PATTERN) -> np.ndarray:
+    """BPE-ish token count via one vectorized regex scan."""
+    arr = _as_array(texts)
+    return (
+        pc.count_substring_regex(arr, pattern)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def whitespace_token_count(texts) -> np.ndarray:
+    arr = _as_array(texts)
+    return (
+        pc.count_substring_regex(arr, r"\S+")
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def quality_scores(texts) -> dict[str, np.ndarray]:
+    """Cheap quality heuristics per document (lengths/ratios).
+
+    Returns dict of float64/int64 arrays: n_chars, n_tokens, punct_ratio,
+    stopword_ratio (English), mean_token_len, upper_ratio.
+    """
+    arr = _as_array(texts)
+    n_chars = pc.utf8_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = whitespace_token_count(arr)
+    n_punct = (
+        pc.count_substring_regex(arr, _PUNct).fill_null(0).to_numpy(zero_copy_only=False)
+    )
+    n_upper = (
+        pc.count_substring_regex(arr, r"[A-Z]").fill_null(0).to_numpy(zero_copy_only=False)
+    )
+    sw_pat = r"(?i)\b(" + "|".join(_STOPWORDS["en"]) + r")\b"
+    n_stop = (
+        pc.count_substring_regex(arr, sw_pat).fill_null(0).to_numpy(zero_copy_only=False)
+    )
+    safe_chars = np.maximum(n_chars, 1).astype(np.float64)
+    safe_toks = np.maximum(n_tokens, 1).astype(np.float64)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "stopword_ratio": n_stop / safe_toks,
+        "mean_token_len": n_chars / safe_toks,
+        "upper_ratio": n_upper / safe_chars,
+    }
+
+
+def detect_language(texts) -> np.ndarray:
+    """Stopword-profile language ID over {en, de, fr, es}; 'und' when no
+    profile scores (undetermined). One vectorized regex count per language."""
+    arr = _as_array(texts)
+    langs = list(_STOPWORDS)
+    scores = np.zeros((len(langs), len(arr)), np.int64)
+    for i, lang in enumerate(langs):
+        pat = r"(?i)\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
+        scores[i] = (
+            pc.count_substring_regex(arr, pat).fill_null(0).to_numpy(zero_copy_only=False)
+        )
+    best = np.argmax(scores, axis=0)
+    total = scores.max(axis=0)
+    out = np.array(langs, dtype=object)[best]
+    out[total == 0] = "und"
+    return out
+
+
+def fingerprint(texts, window: int = 4) -> np.ndarray:
+    """Winnowing-style document fingerprint: min rolling hash over word
+    windows → 16-hex-char id. Deterministic; robust to small edits outside
+    the minimal window."""
+    import zlib
+
+    arr = _as_array(texts).to_pylist()
+    out = np.empty(len(arr), dtype=object)
+    for i, t in enumerate(arr):
+        words = (t or "").split()
+        if not words:
+            out[i] = "0" * 16
+            continue
+        hashes = [zlib.crc32(" ".join(words[j : j + window]).encode()) for j in range(max(1, len(words) - window + 1))]
+        out[i] = f"{min(hashes):08x}{len(words) % 0xFFFF:04x}{hashes[0] & 0xFFFF:04x}"
+    return out

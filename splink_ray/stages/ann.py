@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+IVF (inverted-file) variant.
+
+No splink analogue — first-class training-data operators (task brief).
+
+- **Brute force** — the query matrix is broadcast once (``ray.put``); each
+  ``map_batches`` actor computes one ``(batch × queries)`` matmul and emits
+  its local top-k per query; a final small groupby keeps the global top-k.
+  Exact; cost O(N·Q·d) — the baseline and the small-scale oracle.
+- **IVF** — k-means centroids fitted driver-side on a deterministic sample,
+  broadcast; vectors are assigned to their nearest centroid (one pass);
+  queries search only the ``nprobe`` nearest centroids' lists. Approximate;
+  recall tested ≥ threshold vs brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import broadcast, default_parallelism
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _BruteTopK:
+    def __init__(self, q_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(q_ref)
+        self.qids = q["ids"]
+        self.Q = _normalize(np.asarray(q["matrix"], np.float64)).T  # (d, nq)
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(t[self.vec_col].to_pylist(), np.float64))
+        ids = t[self.id_col]
+        sims = vecs @ self.Q  # (n, nq)
+        k = min(self.k, sims.shape[0])
+        out_q, out_s, idx = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            out_q.extend([self.qids[qi]] * len(top))
+            out_s.extend(col[top].tolist())
+            idx.extend(top.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                self.id_col: ids.take(pa.array(idx, pa.int64())),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_brute_force(ds, vec_col: str, id_col: str, query_matrix, query_ids, k: int = 10):
+    """Exact cosine top-k for each query row. Returns Dataset
+    (query_id, <id_col>, score, rank) with rank 1..k per query,
+    deterministic tie-break on (−score, id)."""
+    q_ref = broadcast({"matrix": np.asarray(query_matrix, np.float64), "ids": list(query_ids)})
+    partial = ds.map_batches(
+        _BruteTopK,
+        batch_format="pyarrow",
+        concurrency=(1, max(2, default_parallelism())),
+        num_cpus=1,
+        fn_constructor_kwargs={"q_ref": q_ref, "vec_col": vec_col, "id_col": id_col, "k": k},
+    )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["score"] = np.round(df["score"], 12)
+        df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+        df = df.groupby("query_id", sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from .exchange import keyed_map
+
+    def _qkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("__q", pc.cast(t["query_id"], pa.string()))
+
+    keyed = partial.map_batches(_qkey, batch_format="pyarrow")
+    out = keyed_map(keyed, "__q", lambda t: _topk(t.drop_columns(["__q"])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        d = sample @ centroids.T
+        assign = np.argmax(d, axis=1)
+        for c in range(len(centroids)):
+            rows = sample[assign == c]
+            if len(rows):
+                centroids[c] = _normalize(rows.mean(axis=0, keepdims=True))[0]
+    return centroids
+
+
+class IVFIndex:
+    """Driver-side handle: fitted centroids + a materialized assigned Dataset."""
+
+    def __init__(self, assigned_ds, centroids: np.ndarray, vec_col: str, id_col: str):
+        self.assigned = assigned_ds
+        self.centroids = centroids
+        self.vec_col, self.id_col = vec_col, id_col
+
+
+def ivf_build(ds, vec_col: str, id_col: str, n_clusters: int = 16, sample_rows: int = 2000):
+    """Fit centroids on a deterministic head-sample, assign every vector to
+    its nearest centroid (one map pass), materialize the assigned set."""
+    sample = np.asarray(
+        ds.limit(sample_rows).to_pandas()[vec_col].tolist(), np.float64
+    )
+    centroids = _kmeans(_normalize(sample), n_clusters)
+    c_ref = broadcast(centroids)
+
+    class _Assign:
+        def __init__(self, c_ref):
+            import ray
+
+            self.C = ray.get(c_ref).T
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(np.asarray(t[vec_col].to_pylist(), np.float64))
+            assign = np.argmax(vecs @ self.C, axis=1).astype(np.int32)
+            return t.append_column("__ivf_cell", pa.array(assign))
+
+    assigned = ds.map_batches(
+        _Assign,
+        batch_format="pyarrow",
+        concurrency=(1, max(2, default_parallelism())),
+        num_cpus=1,
+        fn_constructor_kwargs={"c_ref": c_ref},
+    ).materialize()
+    return IVFIndex(assigned, centroids, vec_col, id_col)
+
+
+def ivf_search(index: IVFIndex, query_matrix, query_ids, k: int = 10, nprobe: int = 4):
+    """Search only the ``nprobe`` nearest cells per query (union of cells is
+    scanned once; per-batch masks keep each query to its own probe set)."""
+    Q = _normalize(np.asarray(query_matrix, np.float64))
+    probe = np.argsort(-(Q @ index.centroids.T), axis=1)[:, :nprobe]
+    cells = sorted({int(c) for row in probe for c in row})
+    sub = index.assigned.filter(expr=f"__ivf_cell in {cells}")
+
+    q_ref = broadcast(
+        {"matrix": Q, "ids": list(query_ids), "probe": probe, "cells": cells}
+    )
+    vec_col, id_col = index.vec_col, index.id_col
+
+    class _ProbeTopK:
+        def __init__(self, q_ref):
+            import ray
+
+            q = ray.get(q_ref)
+            self.Q = q["matrix"].T
+            self.qids = q["ids"]
+            self.probe = q["probe"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(np.asarray(t[vec_col].to_pylist(), np.float64))
+            cell = t["__ivf_cell"].to_numpy(zero_copy_only=False)
+            ids = t[id_col]
+            sims = vecs @ self.Q
+            out_q, out_i, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                mask = np.isin(cell, self.probe[qi])
+                if not mask.any():
+                    continue
+                col = np.where(mask, sims[:, qi], -np.inf)
+                kk = min(k, int(mask.sum()))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                for i in top:
+                    if np.isfinite(col[i]):
+                        out_q.append(self.qids[qi])
+                        out_i.append(int(i))
+                        out_s.append(col[i])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    id_col: ids.take(pa.array(out_i, pa.int64())) if out_i else pa.array([], ids.type),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = sub.map_batches(
+        _ProbeTopK,
+        batch_format="pyarrow",
+        concurrency=(1, max(2, default_parallelism())),
+        num_cpus=1,
+        fn_constructor_kwargs={"q_ref": q_ref},
+    )
+    df = partial.to_pandas()
+    df["score"] = np.round(df["score"], 12)
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df.reset_index(drop=True)

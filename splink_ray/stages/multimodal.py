@@ -1,0 +1,192 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as actor-pool ``map_batches``
+stages with small batch sizes (large payloads → few rows per batch so a
+batch × concurrency fits worker heap — task brief).
+
+The image/audio codec libraries are NOT in this container, so the *codec*
+step is stubbed two ways (clearly marked):
+
+- ``strict=True`` → ``NotImplementedError`` naming the missing dependency;
+- default → a deterministic fake decoder over the repo's own synthetic
+  header format (first 8 bytes = width/height uint32-LE, rest = pixel bytes),
+
+while everything Ray-side — schema, batch sizing, actor signatures, output
+layout, feature vectors usable by stages/ann.py — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("meta", pa.string()),  # JSON sidecar metadata
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_payload(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic 'image': 8-byte header + seeded pixel bytes."""
+    rng = np.random.default_rng(media_id)
+    header = int(width).to_bytes(4, "little") + int(height).to_bytes(4, "little")
+    return header + rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+
+
+def _require_codec(kind: str):
+    raise NotImplementedError(
+        f"real {kind} decoding requires a codec library (pillow / torchaudio / "
+        "pyav) which is not installed in this environment; run with "
+        "strict=False for the deterministic fake-decode path"
+    )
+
+
+class ImageDecoder:
+    """Actor: payload → (width, height, mean_pixel). Fake-decode path parses
+    the synthetic header; strict path is the real-codec stub."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        if strict:
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                _require_codec("image")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        w = np.zeros(len(payloads), np.int32)
+        h = np.zeros(len(payloads), np.int32)
+        mean = np.zeros(len(payloads), np.float64)
+        for i, p in enumerate(payloads):
+            if p is None or len(p) < 8:
+                continue
+            w[i] = int.from_bytes(p[0:4], "little")
+            h[i] = int.from_bytes(p[4:8], "little")
+            body = np.frombuffer(p, np.uint8, offset=8)
+            if len(body):
+                mean[i] = float(body.mean())
+        return (
+            t.append_column("width", pa.array(w))
+            .append_column("height", pa.array(h))
+            .append_column("mean_pixel", pa.array(mean))
+        )
+
+
+class ImageFeatureExtractor:
+    """Actor: payload → fixed-dim byte-histogram feature vector
+    (list<float>, FEATURE_DIM bins, L1-normalized) — feeds stages/ann.py."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        feats = np.zeros((len(payloads), FEATURE_DIM), np.float64)
+        for i, p in enumerate(payloads):
+            if p is None or len(p) <= 8:
+                continue
+            body = np.frombuffer(p, np.uint8, offset=8)
+            hist, _ = np.histogram(body, bins=FEATURE_DIM, range=(0, 256))
+            s = hist.sum()
+            if s:
+                feats[i] = hist / s
+        return t.append_column(
+            "features", pa.array(list(feats), pa.list_(pa.float64()))
+        )
+
+
+class ImageResizer:
+    """Actor stub: real resampling needs a codec; the fake path crops the
+    pixel buffer to the target size deterministically."""
+
+    def __init__(self, width: int, height: int, strict: bool = False):
+        self.w, self.h = width, height
+        if strict:
+            _require_codec("image")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        out = []
+        for p in payloads:
+            if p is None or len(p) < 8:
+                out.append(p)
+                continue
+            body = p[8 : 8 + self.w * self.h]
+            body = body.ljust(self.w * self.h, b"\x00")
+            out.append(
+                int(self.w).to_bytes(4, "little")
+                + int(self.h).to_bytes(4, "little")
+                + body
+            )
+        return t.set_column(
+            t.column_names.index("payload"), "payload", pa.array(out, pa.binary())
+        )
+
+
+def frame_sample(ds, every_n: int = 10, frame_bytes: int = 256, concurrency=(1, 4)):
+    """Video → sampled frame rows. The payload is treated as concatenated
+    fixed-size frames (fake container); real demuxing is the codec stub.
+    Emits one row per sampled frame (media_id, frame_idx, payload)."""
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for mid, p in zip(ids, payloads):
+            if p is None:
+                continue
+            body = p[8:]
+            n_frames = len(body) // frame_bytes
+            for fi in range(0, n_frames, every_n):
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_frame.append(body[fi * frame_bytes : (fi + 1) * frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "payload": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+    # small batches: payloads are wide; 64 rows × ~payload size per batch
+    return ds.map_batches(
+        _sample, batch_format="pyarrow", batch_size=64
+    )
+
+
+def decode_images(ds, strict: bool = False, batch_size: int = 64, concurrency=(1, 8)):
+    return ds.map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"strict": strict},
+    )
+
+
+def extract_image_features(ds, batch_size: int = 64, concurrency=(1, 8)):
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def resize_images(ds, width: int, height: int, strict: bool = False, batch_size: int = 64):
+    return ds.map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        num_cpus=1,
+        fn_constructor_kwargs={"width": width, "height": height, "strict": strict},
+    )

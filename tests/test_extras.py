@@ -1,0 +1,305 @@
+"""Training-data pipeline extras: dedup suite, ANN, text analysis,
+multimodal plumbing — brute-force / DuckDB oracles on the documents and
+embeddings testdata (task brief)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splink_ray.functions import hashing, text as ftext
+from splink_ray.stages import ann, dedup, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def doc_corpus():
+    """documents + planted near-duplicates (deterministic edits)."""
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    for _, r in base.head(40).iterrows():
+        rows.append({"doc_id": int(r.doc_id), "text": r.text})
+        words = r.text.split()
+        if len(words) > 5:
+            # near-dup: drop one word
+            rows.append({"doc_id": int(r.doc_id) + 100000, "text": " ".join(words[:-1])})
+        # exact dup
+        rows.append({"doc_id": int(r.doc_id) + 200000, "text": r.text})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def test_exact_dedup_vs_sql(ray_session, doc_corpus):
+    import ray.data as rd
+
+    out = dedup.exact_dedup(rd.from_arrow(doc_corpus), "text", "doc_id", num_buckets=4)
+    got = sorted(out.to_pandas()["doc_id"])
+    con = duckdb.connect()
+    con.register("d", doc_corpus)
+    exp = sorted(
+        x[0] for x in con.execute("SELECT min(doc_id) FROM d GROUP BY md5(text)").fetchall()
+    )
+    assert got == exp
+
+
+def test_exact_dup_groups(ray_session, doc_corpus):
+    import ray.data as rd
+
+    out = dedup.exact_dup_groups(rd.from_arrow(doc_corpus), "text", "doc_id", num_buckets=4).to_pandas()
+    # every original doc has exactly one exact copy (+200000)
+    dups = out[out.n_copies > 1]
+    assert (dups.n_copies == 2).all()
+    assert len(dups) == 40
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, doc_corpus):
+    import ray.data as rd
+
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_arrow(doc_corpus), "text", "doc_id",
+        num_perm=128, bands=32, threshold=0.6, num_buckets=4,
+    ).to_pandas()
+    got = set(zip(pairs.id_l, pairs.id_r))
+    # oracle: brute-force true char-5-shingle jaccard
+    df = doc_corpus.to_pandas()
+    exp = set()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            tj = hashing.true_jaccard(df.text.iloc[i], df.text.iloc[j], 5)
+            if tj >= 0.75:
+                a, b = sorted((df.doc_id.iloc[i], df.doc_id.iloc[j]))
+                exp.add((a, b))
+    # LSH with est-threshold 0.6 must find every true >=0.75 pair
+    missing = exp - got
+    assert not missing, f"missed {len(missing)} of {len(exp)}"
+    # and estimated jaccard should roughly track truth on found pairs
+    assert (pairs.est_jaccard >= 0.6).all()
+
+
+def test_minhash_dedup_groups(ray_session, doc_corpus):
+    import ray.data as rd
+
+    out = dedup.minhash_dedup(
+        rd.from_arrow(doc_corpus), "text", "doc_id",
+        threshold=0.6, num_perm=128, bands=32, num_buckets=4,
+    ).to_pandas()
+    m = dict(zip(out.doc_id.astype(int), out.dup_group_id))
+    # exact copy pairs must share a group
+    for base_id in list(m)[:10]:
+        if base_id < 100000 and base_id + 200000 in m:
+            assert m[base_id] == m[base_id + 200000]
+
+
+def test_simhash_pairs(ray_session, doc_corpus):
+    import ray.data as rd
+
+    pairs = dedup.simhash_pairs(
+        rd.from_arrow(doc_corpus), "text", "doc_id", max_hamming=3, bands=4, num_buckets=4
+    ).to_pandas()
+    got = set(zip(pairs.id_l, pairs.id_r))
+    # oracle: brute force simhash hamming
+    df = doc_corpus.to_pandas()
+    hs = {int(r.doc_id): hashing.simhash64(r.text) for _, r in df.iterrows()}
+    exp = set()
+    ids = sorted(hs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hashing.hamming64(hs[ids[i]], hs[ids[j]]) <= 3:
+                exp.add((ids[i], ids[j]))
+    assert got == exp
+    assert (pairs.hamming <= 3).all()
+
+
+def test_ngram_jaccard_vs_sql(ray_session, doc_corpus):
+    import ray.data as rd
+
+    out = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(doc_corpus), "text", "doc_id", threshold=0.5, num_buckets=2
+    ).to_pandas()
+    got = set(zip(out.id_l, out.id_r))
+    con = duckdb.connect()
+    con.register("d", doc_corpus)
+    exp = set(
+        (a, b)
+        for a, b in con.execute(
+            """
+            SELECT l.doc_id, r.doc_id FROM d l JOIN d r ON l.doc_id < r.doc_id
+            WHERE len(list_intersect(list_distinct(str_split(l.text,' ')),
+                                     list_distinct(str_split(r.text,' '))))::DOUBLE
+                / len(list_distinct(list_concat(str_split(l.text,' '),
+                                                str_split(r.text,' ')))) >= 0.5
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_embedding_cosine_pairs_and_lsh(ray_session, embeddings):
+    import ray.data as rd
+
+    # plant near-duplicate vectors: the raw table is random noise (max
+    # pairwise cosine ≈ 0.48), so high-sim pairs must be synthesized
+    base = embeddings.to_pandas().head(100)
+    rng = np.random.default_rng(17)
+    dup = base.head(30).copy()
+    dup["vec_id"] = dup["vec_id"] + 10000
+    dup["embedding"] = [
+        list(np.asarray(v) + rng.normal(0, 0.01, len(v))) for v in dup["embedding"]
+    ]
+    corpus = pd.concat([base, dup], ignore_index=True)
+    embeddings = pa.Table.from_pandas(corpus, preserve_index=False)
+
+    ds = rd.from_arrow(embeddings)
+    brute = dedup.embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95).to_pandas()
+    got = set(zip(brute.id_l, brute.id_r)) if len(brute) else set()
+    # numpy oracle
+    df = embeddings.to_pandas()
+    V = np.asarray(df.embedding.tolist(), np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = Vn @ Vn.T
+    ids = df.vec_id.to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= 0.95
+    exp = set(zip(ids[iu[0][mask]], ids[iu[1][mask]]))
+    assert got == exp
+    # LSH variant: subset of brute, catches most high-sim pairs
+    lsh = dedup.embedding_cosine_pairs(
+        ds, "embedding", "vec_id", threshold=0.95, use_lsh=True, n_planes=8
+    ).to_pandas()
+    got_lsh = set(zip(lsh.id_l, lsh.id_r))
+    assert got_lsh <= got
+    if exp:
+        assert len(got_lsh) / len(exp) >= 0.3  # approximate, planes=8
+
+
+def test_knn_brute_force_vs_numpy(ray_session, embeddings):
+    import ray.data as rd
+
+    df = embeddings.to_pandas()
+    Q = np.asarray(df.embedding.head(5).tolist(), np.float64)
+    qids = df.vec_id.head(5).tolist()
+    out = ann.knn_brute_force(
+        rd.from_arrow(embeddings), "embedding", "vec_id", Q, qids, k=10
+    ).to_pandas()
+    V = np.asarray(df.embedding.tolist(), np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims = Vn @ Qn.T
+    for qi, qid in enumerate(qids):
+        col = np.round(sims[:, qi], 12)
+        order = np.lexsort((df.vec_id.to_numpy(), -col))
+        exp_ids = df.vec_id.to_numpy()[order][:10]
+        got_rows = out[out.query_id == qid].sort_values("rank")
+        assert list(got_rows.vec_id) == list(exp_ids)
+
+
+def test_ivf_recall(ray_session, embeddings):
+    import ray.data as rd
+
+    ds = rd.from_arrow(embeddings).materialize()
+    df = embeddings.to_pandas()
+    Q = np.asarray(df.embedding.head(8).tolist(), np.float64)
+    qids = df.vec_id.head(8).tolist()
+    brute = ann.knn_brute_force(ds, "embedding", "vec_id", Q, qids, k=10).to_pandas()
+    index = ann.ivf_build(ds, "embedding", "vec_id", n_clusters=8)
+    # random noise vectors are IVF's worst case (no cluster structure);
+    # nprobe=4 of 8 cells still demonstrates the pruning path
+    approx = ann.ivf_search(index, Q, qids, k=10, nprobe=4)
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_text_functions_vs_sql(documents):
+    texts = documents["text"]
+    tc = ftext.token_count(texts)
+    wc = ftext.whitespace_token_count(texts)
+    con = duckdb.connect()
+    con.register("d", documents)
+    exp_wc = np.array(
+        [r[0] for r in con.execute(
+            r"SELECT len(regexp_extract_all(text, '\S+')) FROM d"
+        ).fetchall()]
+    )
+    np.testing.assert_array_equal(wc, exp_wc)
+    exp_tc = np.array(
+        [r[0] for r in con.execute(
+            "SELECT len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]')) FROM d"
+        ).fetchall()]
+    )
+    np.testing.assert_array_equal(tc, exp_tc)
+    q = ftext.quality_scores(texts)
+    assert (q["n_chars"] > 0).all()
+    assert ((q["punct_ratio"] >= 0) & (q["punct_ratio"] <= 1)).all()
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+
+
+def test_language_detection():
+    texts = [
+        "the cat and the dog sat in the garden for a while",
+        "der Hund ist nicht mit der Katze auf das Sofa",
+        "le chat est dans la maison et il dort pour une heure",
+        "el perro es grande y la casa es bonita para una familia",
+        "zzzz qqqq xxxx",
+    ]
+    out = list(ftext.detect_language(texts))
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_stability():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " extra tail words here"  # same minimal window survives
+    fa = ftext.fingerprint([a])[0]
+    assert fa == ftext.fingerprint([a])[0]
+    assert len(fa) == 16
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "media_id": f"m{i:03d}",
+                "payload": multimodal.synth_payload(i, 32, 24),
+                "mime": "image/x-fake",
+                "meta": "{}",
+            }
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=multimodal.MEDIA_SCHEMA))
+    dec = multimodal.decode_images(ds).to_pandas()
+    assert (dec.width == 32).all() and (dec.height == 24).all()
+    assert dec.mean_pixel.between(100, 160).all()
+
+    feats = multimodal.extract_image_features(ds).to_pandas()
+    F = np.asarray(feats.features.tolist())
+    assert F.shape == (20, multimodal.FEATURE_DIM)
+    np.testing.assert_allclose(F.sum(axis=1), 1.0, atol=1e-9)
+
+    resized = multimodal.resize_images(ds, 8, 8).to_pandas()
+    assert all(len(p) == 8 + 64 for p in resized.payload)
+
+    frames = multimodal.frame_sample(ds, every_n=2, frame_bytes=100).to_pandas()
+    assert (frames.frame_idx % 2 == 0).all()
+    assert all(len(p) == 100 for p in frames.payload)
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.ImageDecoder(strict=True)
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.ImageResizer(4, 4, strict=True)
