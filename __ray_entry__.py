@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-linkage pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 (and the training-data extras), each checked against
+DuckDB at sf0.01 by the driver (row count + schema + order-insensitive
+value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Conventions that keep the hash comparison stable:
+- every computed/aggregate column is aliased identically in Ray and SQL;
+- float outputs are rounded to 6 decimals on BOTH sides (parallel execution
+  must not leak last-ulp differences into the hash);
+- pair ids are emitted with ``uid_l < uid_r`` under the column's native
+  ordering, matching the SQL join predicate.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +22,653 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from splink_ray import Settings, block_on, col
+import splink_ray.comparison_level_library as cll
+from splink_ray.settings import Comparison
+
+
+def _ds(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, n in cols.items():
+        df[c] = df[c].astype(float).round(n)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# model fixtures shared by the gamma / scoring / EM queries (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _customer_settings() -> Settings:
+    name_cmp = Comparison(
+        "c_name",
+        [
+            cll.NullLevel("c_name"),
+            cll.ExactMatchLevel("c_name", m_probability=0.7, u_probability=0.001),
+            cll.LevenshteinLevel("c_name", 3, m_probability=0.2, u_probability=0.05),
+            cll.JaroWinklerLevel("c_name", 0.92, m_probability=0.05, u_probability=0.05),
+            cll.ElseLevel(m_probability=0.05, u_probability=0.899),
+        ],
+    )
+    bal_cmp = Comparison(
+        "c_acctbal",
+        [
+            cll.NullLevel("c_acctbal"),
+            cll.AbsoluteDifferenceLevel("c_acctbal", 100.0, m_probability=0.8, u_probability=0.1),
+            cll.AbsoluteDifferenceLevel("c_acctbal", 1000.0, m_probability=0.15, u_probability=0.2),
+            cll.ElseLevel(m_probability=0.05, u_probability=0.7),
+        ],
+    )
+    return Settings(
+        unique_id_column_name="c_custkey",
+        probability_two_random_records_match=0.01,
+        blocking_rules_to_generate_predictions=[block_on("c_nationkey", "c_mktsegment")],
+        comparisons=[name_cmp, bal_cmp],
+        retain_matching_columns=False,
+    )
+
+
+_CUSTOMER_PAIR_SQL = (
+    "FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey "
+    "AND l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey"
+)
+
+
+def _pair_prefix(sql_frag: str, side_cols: list[str]) -> str:
+    """SELECT that renames l.x → x_l, r.x → x_r for the oracle CASE sql."""
+    sel = ", ".join(
+        f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in side_cols
+    )
+    return f"SELECT {sel} {sql_frag}"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tf_mktsegment(sf_dir: str):
+    """T1: term-frequency table."""
+    from splink_ray.stages.tf import term_frequency_table
+
+    df = term_frequency_table(_ds(sf_dir, "customer"), "c_mktsegment")
+    return _round(df.rename(columns={"tf_c_mktsegment": "tf"}), {"tf": 6})
+
+
+def q_vertical_concat(sf_dir: str):
+    """M1: union + source_dataset literal, counted per source."""
+    from splink_ray.pipelines.predict import vertically_concatenate
+
+    s = Settings(link_type="link_only")
+    cust = _ds(sf_dir, "customer", ["c_custkey"]).rename_columns({"c_custkey": "key"})
+    supp = _ds(sf_dir, "supplier", ["s_suppkey"]).rename_columns({"s_suppkey": "key"})
+    ds = vertically_concatenate({"customer": cust, "supplier": supp}, s)
+    from ray.data.aggregate import Count
+
+    return ds.groupby("source_dataset").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def q_profile_top_event_types(sf_dir: str):
+    """P1: top-5 value frequencies."""
+    from splink_ray.pipelines.evaluation import profile_columns
+
+    prof = profile_columns(_ds(sf_dir, "events"), ["event_type"], top_k=5)
+    return prof["event_type"]["top_k"].rename(columns={"value": "event_type"})
+
+
+def q_completeness_customer(sf_dir: str):
+    """P2: non-null share per column."""
+    from splink_ray.pipelines.evaluation import completeness_chart_data
+
+    df = completeness_chart_data(
+        _ds(sf_dir, "customer"), ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+    out = df[["column", "non_null", "total"]].copy()
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def q_count_comparisons(sf_dir: str):
+    """B7: Σ n·(n−1)/2 over blocking keys."""
+    from splink_ray.stages.blocking import (
+        count_comparisons_from_blocking_rule,
+        derive_block_keys,
+    )
+
+    rules = [block_on("c_nationkey", "c_mktsegment")]
+    ds = derive_block_keys(_ds(sf_dir, "customer"), rules)
+    return pd.DataFrame({"n_comparisons": [count_comparisons_from_blocking_rule(ds, 0)]})
+
+
+def q_blocking_pairs(sf_dir: str):
+    """B2: the candidate pair table itself."""
+    from splink_ray.stages.blocking import generate_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    return pairs.select_columns(["c_custkey_l", "c_custkey_r", "match_key"])
+
+
+def q_blocking_pairs_salted(sf_dir: str):
+    """B4: same pair table with every key force-salted — must be identical."""
+    from splink_ray.stages.blocking import generate_pairs
+
+    s = _customer_settings()
+    s.hot_key_threshold = 3
+    s.target_rows_per_salted_block = 4
+    pairs, _ = generate_pairs(_ds(sf_dir, "customer"), s, analyze_skew=True)
+    return pairs.select_columns(["c_custkey_l", "c_custkey_r", "match_key"])
+
+
+def q_multi_rule_match_key(sf_dir: str):
+    """B3: per-match_key pair counts under cross-rule exclusion."""
+    from splink_ray.stages.blocking import generate_pairs
+    from ray.data.aggregate import Count
+
+    s = _customer_settings()
+    s.blocking_rules_to_generate_predictions = [
+        block_on("c_nationkey", "c_mktsegment"),
+        block_on("c_mktsegment"),
+    ]
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    return pairs.groupby("match_key").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def q_gamma_customer(sf_dir: str):
+    """V1: comparison-vector (gamma) computation over the pair table."""
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(pairs, s, concurrency=(1, 4))
+    return scored.select_columns(
+        ["c_custkey_l", "c_custkey_r", "gamma_c_name", "gamma_c_acctbal"]
+    )
+
+
+def q_predict_scores(sf_dir: str):
+    """§2.6: Fellegi-Sunter match weight/probability per pair (round 6)."""
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(pairs, s, concurrency=(1, 4))
+    df = scored.select_columns(
+        ["c_custkey_l", "c_custkey_r", "match_weight", "match_probability"]
+    ).to_pandas()
+    return _round(df, {"match_weight": 6, "match_probability": 6})
+
+
+def q_predict_threshold_count(sf_dir: str):
+    """M4: threshold filter."""
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(
+        pairs, s, threshold_match_probability=0.2, concurrency=(1, 4)
+    )
+    return pd.DataFrame({"n": [scored.count()]})
+
+
+def q_em_agreement_patterns(sf_dir: str):
+    """E4 input: GROUP BY gamma tuple counts."""
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.pipelines.training import agreement_patterns
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    return agreement_patterns(pairs, s)
+
+
+def q_deterministic_link_count(sf_dir: str):
+    """B6: deterministic link pair count on supplier."""
+    from splink_ray.pipelines.predict import deterministic_link
+
+    s = Settings(
+        unique_id_column_name="s_suppkey",
+        blocking_rules_to_generate_predictions=[block_on("s_nationkey")],
+    )
+    ds, _ = deterministic_link(_ds(sf_dir, "supplier"), s)
+    return pd.DataFrame({"n": [ds.count()]})
+
+
+def q_clusters_exact_text(sf_dir: str):
+    """C1/C2: connected components over exact-duplicate-text edges.
+
+    Same-text docs form complete subgraphs, so cluster_id = min doc_id per
+    text — SQL-expressible, while our side runs the real CC solver."""
+    from splink_ray.pipelines.clustering import cluster_pairwise_predictions_at_threshold
+    from splink_ray.stages.blocking import generate_pairs
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    s = Settings(
+        unique_id_column_name="doc_id",
+        blocking_rules_to_generate_predictions=[block_on("text")],
+    )
+    pairs, _ = generate_pairs(docs, s, analyze_skew=False, collect_metrics=False)
+
+    def _p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "unique_id_l": pa.compute.cast(t["doc_id_l"], pa.string()),
+                "unique_id_r": pa.compute.cast(t["doc_id_r"], pa.string()),
+                "match_probability": pa.array(np.ones(len(t)), pa.float64()),
+            }
+        )
+
+    preds = pairs.map_batches(_p, batch_format="pyarrow")
+    records = docs.map_batches(
+        lambda t: pa.table({"unique_id": pa.compute.cast(t["doc_id"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    clustered, _ = cluster_pairwise_predictions_at_threshold(records, preds, 0.5)
+    df = clustered.to_pandas()
+    df["doc_id"] = df["unique_id"].astype(int)
+    df["cluster_id"] = df["cluster_id"].astype(int)
+    return df[["doc_id", "cluster_id"]]
+
+
+def q_graph_degree(sf_dir: str):
+    """C3: node degree over the blocking-pair edge set."""
+    from splink_ray.stages.blocking import generate_pairs
+    from ray.data.aggregate import Count
+
+    s = Settings(
+        unique_id_column_name="s_suppkey",
+        blocking_rules_to_generate_predictions=[block_on("s_nationkey")],
+    )
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "supplier"), s, analyze_skew=False, collect_metrics=False
+    )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": pa.concat_arrays(
+                    [
+                        t["s_suppkey_l"].combine_chunks(),
+                        t["s_suppkey_r"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    return (
+        pairs.map_batches(_sym, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Dedup-exact: min-id survivor per distinct text."""
+    from splink_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Dedup n-gram: token-set Jaccard ≥ 0.5 pairs (brute baseline)."""
+    from splink_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+    ).to_pandas()
+    return _round(out, {"jaccard": 6})
+
+
+def q_minhash_pairs(sf_dir: str):
+    """Dedup MinHash-LSH: near-dup candidates (rows-only check; pytest holds
+    the brute-force oracle)."""
+    from splink_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+    )
+    return out.select_columns(["id_l", "id_r"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    """Dedup SimHash (rows-only; pytest holds the brute-force oracle)."""
+    from splink_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=3
+    ).select_columns(["id_l", "id_r", "hamming"])
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    """Dedup embedding-cosine ≥ 0.35 (random vectors peak ≈0.48)."""
+    from splink_ray.stages.dedup import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(
+        _ds(sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+    ).to_pandas()
+    return out[["id_l", "id_r"]]
+
+
+def q_knn_embeddings(sf_dir: str):
+    """ANN brute-force cosine top-5 for the first 3 vectors as queries."""
+    from splink_ray.stages.ann import knn_brute_force
+
+    emb = _ds(sf_dir, "embeddings")
+    head = emb.limit(3).to_pandas().sort_values("vec_id")
+    Q = np.asarray(head.embedding.tolist(), np.float64)
+    out = knn_brute_force(emb, "embedding", "vec_id", Q, head.vec_id.tolist(), k=5)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_token_count_docs(sf_dir: str):
+    """Text: BPE-ish token counting."""
+    from splink_ray.functions.text import TOKEN_PATTERN, token_count
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_quality_docs(sf_dir: str):
+    """Text: quality scores (lengths/ratios, round 6)."""
+    from splink_ray.functions.text import quality_scores
+
+    def _f(t: pa.Table) -> pa.Table:
+        q = quality_scores(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(q["n_chars"], pa.int64()),
+                "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+                "mean_token_len": pa.array(np.round(q["mean_token_len"], 6)),
+                "punct_ratio": pa.array(np.round(q["punct_ratio"], 6)),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    """Text: language ID heuristic (rows-only)."""
+    from splink_ray.functions.text import detect_language
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_detected": pa.array(detect_language(t["text"]), pa.string()),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Text: winnowing fingerprints (rows-only; determinism via pytest)."""
+    from splink_ray.functions.text import fingerprint
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp": pa.array(fingerprint(t["text"]), pa.string()),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_canonicalize_transcripts(sf_dir: str):
+    """M6: transcripts → entity records (rows-only; derivation not in SQL)."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.stages.canonicalize import canonicalize
+
+    t = transcripts_from_documents(sf_dir)
+    recs = canonicalize(rd.from_arrow(t))
+    return recs.select_columns(
+        ["unique_id", "n_turns", "text_concat_hash", "role_seq", "ts_day"]
+    )
+
+
+def q_flagship_predict(sf_dir: str):
+    """§3.1 full flow over derived transcripts (rows-only)."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.stages.canonicalize import canonicalize
+
+    t = transcripts_from_documents(sf_dir)
+    recs = canonicalize(rd.from_arrow(t))
+    scored, _ = predict(recs, transcript_settings(), threshold_match_probability=0.9)
+    df = scored.select_columns(
+        ["unique_id_l", "unique_id_r", "match_probability"]
+    ).to_pandas()
+    return _round(df, {"match_probability": 6})
+
+
+def q_flagship_clusters(sf_dir: str):
+    """§3.3 clusters over the flagship predictions (rows-only)."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.pipelines.clustering import cluster_pairwise_predictions_at_threshold
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.stages.canonicalize import canonicalize
+
+    t = transcripts_from_documents(sf_dir)
+    recs = canonicalize(rd.from_arrow(t)).materialize()
+    scored, _ = predict(recs, transcript_settings(), threshold_match_probability=0.5)
+    clustered, _ = cluster_pairwise_predictions_at_threshold(recs, scored, 0.9)
+    return clustered.select_columns(["unique_id", "cluster_id"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
+    return q_flagship_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tf_mktsegment": q_tf_mktsegment,
+        "vertical_concat": q_vertical_concat,
+        "profile_top_event_types": q_profile_top_event_types,
+        "completeness_customer": q_completeness_customer,
+        "count_comparisons": q_count_comparisons,
+        "blocking_pairs": q_blocking_pairs,
+        "blocking_pairs_salted": q_blocking_pairs_salted,
+        "multi_rule_match_key": q_multi_rule_match_key,
+        "gamma_customer": q_gamma_customer,
+        "predict_scores": q_predict_scores,
+        "predict_threshold_count": q_predict_threshold_count,
+        "em_agreement_patterns": q_em_agreement_patterns,
+        "deterministic_link_count": q_deterministic_link_count,
+        "clusters_exact_text": q_clusters_exact_text,
+        "graph_degree": q_graph_degree,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "knn_embeddings": q_knn_embeddings,
+        "token_count_docs": q_token_count_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "canonicalize_transcripts": q_canonicalize_transcripts,
+        "flagship_predict": q_flagship_predict,
+        "flagship_clusters": q_flagship_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s = _customer_settings()
+    gamma_name = s.comparisons[0].gamma_case_sql()
+    gamma_bal = s.comparisons[1].gamma_case_sql()
+    from splink_ray.model import match_weight_sql
+
+    weight = match_weight_sql(s)
+    pair_cols = ["c_name", "c_acctbal"]
+    pair_sub = _pair_prefix(
+        "FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey "
+        "AND l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey",
+        ["c_custkey"] + pair_cols,
+    )
+
+    return {
+        "tf_mktsegment": (
+            "SELECT c_mktsegment, round(count(*)::DOUBLE / "
+            "(SELECT count(*) FROM customer), 6) AS tf "
+            "FROM customer GROUP BY c_mktsegment"
+        ),
+        "vertical_concat": (
+            "SELECT 'customer' AS source_dataset, count(*) AS n FROM customer "
+            "UNION ALL SELECT 'supplier', count(*) FROM supplier"
+        ),
+        "profile_top_event_types": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
+        ),
+        "completeness_customer": (
+            "SELECT 'c_acctbal' AS column, count(c_acctbal) AS non_null, count(*) AS total FROM customer "
+            "UNION ALL SELECT 'c_mktsegment', count(c_mktsegment), count(*) FROM customer "
+            "UNION ALL SELECT 'c_name', count(c_name), count(*) FROM customer"
+        ),
+        "count_comparisons": (
+            f"SELECT count(*) AS n_comparisons {_CUSTOMER_PAIR_SQL}"
+        ),
+        "blocking_pairs": (
+            "SELECT l.c_custkey AS c_custkey_l, r.c_custkey AS c_custkey_r, "
+            f"0 AS match_key {_CUSTOMER_PAIR_SQL}"
+        ),
+        "blocking_pairs_salted": (
+            "SELECT l.c_custkey AS c_custkey_l, r.c_custkey AS c_custkey_r, "
+            f"0 AS match_key {_CUSTOMER_PAIR_SQL}"
+        ),
+        "multi_rule_match_key": (
+            f"SELECT 0 AS match_key, count(*) AS n {_CUSTOMER_PAIR_SQL} "
+            "UNION ALL "
+            "SELECT 1, count(*) FROM customer l JOIN customer r ON "
+            "l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey "
+            "AND NOT (l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment)"
+        ),
+        "gamma_customer": (
+            f"SELECT c_custkey_l, c_custkey_r, {gamma_name} AS gamma_c_name, "
+            f"{gamma_bal} AS gamma_c_acctbal FROM ({pair_sub})"
+        ),
+        "predict_scores": (
+            "SELECT c_custkey_l, c_custkey_r, round(w, 6) AS match_weight, "
+            "round(pow(2, w) / (1 + pow(2, w)), 6) AS match_probability FROM ("
+            f"SELECT c_custkey_l, c_custkey_r, {weight} AS w FROM ("
+            f"SELECT *, {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
+            f"FROM ({pair_sub})))"
+        ),
+        "predict_threshold_count": (
+            "SELECT count(*) AS n FROM ("
+            f"SELECT {weight} AS w FROM ("
+            f"SELECT *, {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
+            f"FROM ({pair_sub}))) WHERE pow(2, w) / (1 + pow(2, w)) >= 0.2"
+        ),
+        "em_agreement_patterns": (
+            "SELECT gamma_c_name, gamma_c_acctbal, count(*) AS n FROM ("
+            f"SELECT {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
+            f"FROM ({pair_sub})) GROUP BY gamma_c_name, gamma_c_acctbal"
+        ),
+        "deterministic_link_count": (
+            "SELECT count(*) AS n FROM supplier l JOIN supplier r "
+            "ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey"
+        ),
+        "clusters_exact_text": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id "
+            "FROM documents"
+        ),
+        "graph_degree": (
+            "SELECT s_suppkey, count(*) AS degree FROM ("
+            "SELECT l.s_suppkey FROM supplier l JOIN supplier r "
+            "ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey "
+            "UNION ALL SELECT r.s_suppkey FROM supplier l JOIN supplier r "
+            "ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey"
+            ") GROUP BY s_suppkey"
+        ),
+        "exact_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard_pairs": (
+            "SELECT id_l, id_r, round(j, 6) AS jaccard FROM ("
+            "SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            "len(list_intersect(list_distinct(str_split(l.text, ' ')), "
+            "list_distinct(str_split(r.text, ' '))))::DOUBLE / "
+            "len(list_distinct(list_concat(str_split(l.text, ' '), "
+            "str_split(r.text, ' ')))) AS j "
+            "FROM documents l JOIN documents r ON l.doc_id < r.doc_id) "
+            "WHERE j >= 0.5"
+        ),
+        "embedding_cosine_pairs": (
+            "SELECT l.vec_id AS id_l, r.vec_id AS id_r "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+            "WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
+            "CAST(r.embedding AS DOUBLE[])) >= 0.35"
+        ),
+        "knn_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS s FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY round(s, 12) DESC, vec_id) AS rank "
+            "FROM scored) SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "token_count_docs": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens FROM documents"
+        ),
+        "quality_docs": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "round(length(text)::DOUBLE / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_token_len, "
+            "round(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio "
+            "FROM documents"
+        ),
+    }

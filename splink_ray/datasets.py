@@ -242,3 +242,88 @@ def transcripts_from_documents(sf_dir: str, copies_per_doc: int = 2) -> pa.Table
             "ts": pa.array(tss, pa.timestamp("us")),
         }
     )
+
+
+def generate_transcripts_fast(
+    n_turns_target: int = 1_000_000,
+    seed: int = 42,
+    entities_per_day: int = 50,
+) -> pa.Table:
+    """Vectorized bench-scale transcript generator (numpy end to end).
+
+    Same schema and linkage structure as :func:`generate_transcripts`
+    (entities × near-duplicate copies sharing a ts_day blocking key; copy 0
+    unperturbed, later copies get a deterministic suffix edit on non-first
+    turns) but built from array ops so 10⁶+ turns generate in seconds.
+    Deterministic: pure function of the arguments.
+    """
+    rng = np.random.default_rng(seed)
+    avg_turns = 6.5
+    avg_copies = 2.0
+    n_entities = max(1, int(n_turns_target / (avg_turns * avg_copies)))
+
+    vocab = _vocab(rng, 800)
+
+    ent_turns = rng.integers(3, 11, n_entities)          # turns per entity
+    ent_copies = rng.integers(1, 4, n_entities)          # copies per entity
+    ent_day = rng.integers(0, max(1, n_entities // entities_per_day), n_entities)
+
+    # one row per (entity, copy): entity/copy indices
+    copy_ent = np.repeat(np.arange(n_entities), ent_copies)
+    copy_idx = np.concatenate([np.arange(c) for c in ent_copies])
+    copy_turns = ent_turns[copy_ent]
+
+    # one row per turn
+    turn_copy = np.repeat(np.arange(len(copy_ent)), copy_turns)
+    turn_ent = copy_ent[turn_copy]
+    turn_cidx = copy_idx[turn_copy]
+    t_idx = np.concatenate([np.arange(c) for c in copy_turns]).astype(np.int32)
+    n_rows = len(turn_ent)
+
+    # entity-level per-turn word choices: derive 8 word ids per (entity, turn)
+    # from a counter-based hash so all copies of an entity share base text
+    ent_turn_key = turn_ent.astype(np.uint64) * np.uint64(1315423911) + t_idx.astype(np.uint64)
+    words = []
+    for w in range(8):
+        h = (ent_turn_key * np.uint64(2654435761) + np.uint64(w * 97)) % np.uint64(len(vocab))
+        words.append(vocab[h.astype(np.int64)])
+    text = words[0]
+    for w in words[1:]:
+        text = np.char.add(np.char.add(text, " "), w)
+
+    # perturbation: later copies get a copy-specific suffix on ~40% of
+    # non-first turns (changes the turn hash; first turn stays linkable)
+    perturb = (turn_cidx > 0) & (t_idx > 0) & (
+        ((ent_turn_key + turn_cidx.astype(np.uint64)) % np.uint64(5)) < 2
+    )
+    suffix = np.where(perturb, np.char.add(" zq", turn_cidx.astype(str)), "")
+    text = np.char.add(text, suffix)
+
+    conv_id = np.char.add(
+        np.char.add("c", np.char.zfill(turn_ent.astype(str), 8)),
+        np.char.add("-", turn_cidx.astype(str)),
+    )
+    role = np.where(t_idx % 2 == 0, "user", "assistant")
+    tool_pool = np.array(_TOOLS)
+    has_tool = (t_idx % 2 == 1) & ((ent_turn_key % np.uint64(7)) == 0)
+    tool = np.where(has_tool, tool_pool[(ent_turn_key % np.uint64(len(_TOOLS))).astype(np.int64)], "")
+
+    base = np.datetime64("2025-03-01T12:00:00", "us")
+    jitter_min = ((ent_turn_key % np.uint64(240)).astype(np.int64) - 120) * (turn_cidx > 0)
+    ts = (
+        base
+        + ent_day[turn_ent].astype("timedelta64[D]").astype("timedelta64[us]")
+        + (jitter_min * 60_000_000).astype("timedelta64[us]")
+        + (t_idx.astype(np.int64) * 45_000_000).astype("timedelta64[us]")
+    )
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(t_idx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )

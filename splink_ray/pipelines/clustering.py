@@ -212,6 +212,15 @@ def cluster_pairwise_predictions_at_threshold(
     ``cluster_id`` = min unique_id of the connected component (singleton
     records cluster with themselves) — identical to the reference's
     representative rule."""
+    # Ray drops the schema of fully-empty datasets; a prediction set with no
+    # rows (e.g. nothing above threshold) would break the column selects, so
+    # shortcut: every record is its own cluster.
+    if predictions_ds.count() == 0:
+        self_clustered = records_ds.map_batches(
+            lambda t: t.append_column("cluster_id", t[uid]),
+            batch_format="pyarrow",
+        )
+        return self_clustered, {"method": "empty", "n_edges": 0}
     edges = _threshold_edges(predictions_ds, threshold_match_probability, uid)
 
     if method == "auto":
