@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Benchmark harness (task brief contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the bench-scale transcript linkage, under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pairs_scored": P, "pairs_scored_per_sec": R, "turns": T}
+
+``--scaling`` mode: runs the identical job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input and
+prints both times + scaling efficiency = (T8/T32)/4 — the sandbox substitute
+for the N-vs-4N-node cluster criterion (SURVEY.md §4.2.5).
+
+The transcript fixture is generated once (vectorized, seed-fixed) and cached
+under /tmp/splink_ray_bench; generation is never timed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/splink_ray_bench"
+SEED = 42
+
+
+def _fixture_path(turns: int) -> str:
+    epd = os.environ.get("BENCH_EPD", "1000")
+    return os.path.join(BENCH_DIR, f"transcripts_{turns}_s{SEED}_v3_epd{epd}")
+
+
+def ensure_fixture(turns: int) -> str:
+    """Generate+cache the bench transcripts (pure function of args)."""
+    path = _fixture_path(turns)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    import pyarrow.parquet as pq
+
+    from splink_ray.datasets import generate_transcripts_fast
+
+    os.makedirs(path, exist_ok=True)
+    # dense day-blocks (entities_per_day) are the honest 10^12-turn shape:
+    # blocking keys at that scale have multi-thousand-row blocks (the reason
+    # salting/capping exist), and they make the bench compute-bound
+    tbl = generate_transcripts_fast(
+        turns, seed=SEED, entities_per_day=int(os.environ.get("BENCH_EPD", "1000"))
+    )
+    # several files so the read parallelizes
+    n_files = 16
+    step = (tbl.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(path, f"part-{i:03d}.parquet"))
+    open(done, "w").close()
+    return path
+
+
+def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
+    import ray
+
+    fixture = ensure_fixture(turns)
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+    )
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.stages.canonicalize import canonicalize
+
+    timings: dict[str, float] = {}
+    extras: dict = {"turns": turns}
+    out_dir = os.path.join(BENCH_DIR, f"out_{num_cpus}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    # warm the page cache (untimed) so both CPU levels measure compute+shuffle
+    rd.read_parquet(fixture).count()
+
+    # ---- q1: canonicalize -------------------------------------------------
+    t0 = time.time()
+    records = canonicalize(rd.read_parquet(fixture))
+    records.write_parquet(os.path.join(out_dir, "records"))
+    timings["canonicalize"] = round(time.time() - t0, 2)
+    records = rd.read_parquet(os.path.join(out_dir, "records"))
+    n_records = records.count()
+    extras["records"] = n_records
+    extras["turns_canonicalized_per_sec"] = round(turns / timings["canonicalize"])
+
+    # ---- q2: predict (blocking + salted pairgen + fused gamma/FS score) ---
+    settings = transcript_settings()
+    settings.hot_key_threshold = int(os.environ.get("BENCH_HOT", "1200"))
+    settings.target_rows_per_salted_block = int(os.environ.get("BENCH_SALT_TARGET", "600"))
+    t0 = time.time()
+    scored, metrics = predict(records, settings, materialize_records=True)
+    scored.write_parquet(os.path.join(out_dir, "scored"))
+    timings["predict"] = round(time.time() - t0, 2)
+    scored = rd.read_parquet(os.path.join(out_dir, "scored"))
+    pairs_scored = scored.count()
+    extras["pairs_scored"] = pairs_scored
+    extras["pairs_scored_per_sec"] = round(pairs_scored / timings["predict"])
+    extras["blocking"] = metrics["rules"]
+
+    # ---- q3: cluster ------------------------------------------------------
+    t0 = time.time()
+    clustered, cinfo = cluster_pairwise_predictions_at_threshold(
+        records, scored, 0.9
+    )
+    n_clustered = clustered.count()
+    timings["cluster"] = round(time.time() - t0, 2)
+    extras["clustering"] = cinfo
+
+    # ---- q4-q6: corpus operators over the driver testdata -----------------
+    from splink_ray.stages.dedup import minhash_lsh_pairs
+    from splink_ray.stages.tf import term_frequency_table
+
+    t0 = time.time()
+    term_frequency_table(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]),
+        "c_mktsegment",
+    )
+    timings["tf"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_dup_pairs = minhash_lsh_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "text",
+        "doc_id",
+        threshold=0.5,
+    ).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 2)
+    extras["minhash_pairs"] = n_dup_pairs
+
+    import numpy as np
+
+    from splink_ray.stages.ann import knn_brute_force
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.limit(8).to_pandas()
+    t0 = time.time()
+    knn_brute_force(
+        emb, "embedding", "vec_id",
+        np.asarray(head.embedding.tolist(), np.float64),
+        head.vec_id.tolist(), k=10,
+    ).count()
+    timings["knn"] = round(time.time() - t0, 2)
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 2)
+    extras["linkage_sec"] = round(
+        timings["canonicalize"] + timings["predict"] + timings["cluster"], 2
+    )
+    return {
+        "metric": "transcript_linkage_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    turns = int(os.environ.get("BENCH_TURNS", "1000000"))
+
+    if "--scaling" in sys.argv:
+        ensure_fixture(turns)  # generate + warm once, outside both timings
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo = run(lo)
+        r_hi = run(hi)
+        # efficiency on the headline linkage pipeline (canonicalize +
+        # predict + cluster over the same input)
+        eff = (r_lo["linkage_sec"] / r_hi["linkage_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    f"linkage_sec_{lo}": r_lo["linkage_sec"],
+                    f"linkage_sec_{hi}": r_hi["linkage_sec"],
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"pairs_per_sec_{lo}": r_lo["pairs_scored_per_sec"],
+                    f"pairs_per_sec_{hi}": r_hi["pairs_scored_per_sec"],
+                    "sf": sf_dir,
+                    "turns": turns,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus, turns)))
+
+
+if __name__ == "__main__":
+    main()

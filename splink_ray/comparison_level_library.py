@@ -608,8 +608,14 @@ class ArrayIntersectLevel(ComparisonLevel):
 
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
+        if ctx.duck is not None:
+            # C++ list kernel — per-pair python set ops are ~10× slower
+            vals = ctx.duck.eval_expr("len(list_intersect(l, r))", l, r)
+            v = pc.fill_null(vals, -1).to_numpy(zero_copy_only=False)
+            return v >= self.min_intersection
         sizes = kernels.array_intersect_size(l.to_pylist(), r.to_pylist())
-        return sizes >= self.min_intersection
+        valid = _valid_pair_mask(l, r)
+        return (sizes >= self.min_intersection) & valid
 
     def sql(self):
         ls = _side(self.col_expression, "l").sql()
@@ -630,6 +636,13 @@ class ArraySubsetLevel(ComparisonLevel):
 
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
+        if ctx.duck is not None:
+            expr = (
+                "coalesce(len(list_intersect(l, r)) = "
+                "least(len(list_distinct(l)), len(list_distinct(r))) "
+                "AND least(len(list_distinct(l)), len(list_distinct(r))) > 0, FALSE)"
+            )
+            return _to_np_bool(ctx.duck.eval_expr(expr, l, r))
         return kernels.array_subset(l.to_pylist(), r.to_pylist())
 
     def sql(self):

@@ -281,11 +281,26 @@ def generate_transcripts_fast(
     n_rows = len(turn_ent)
 
     # entity-level per-turn word choices: derive 8 word ids per (entity, turn)
-    # from a counter-based hash so all copies of an entity share base text
-    ent_turn_key = turn_ent.astype(np.uint64) * np.uint64(1315423911) + t_idx.astype(np.uint64)
+    # from a counter-based hash so all copies of an entity share base text.
+    # murmur-style finalizer: without full 64-bit mixing, word ids depend on
+    # the key only mod |vocab| and distinct entities collide on WHOLE turns
+    # (~1/|vocab|), planting spurious matches
+    def _mix(h: np.ndarray) -> np.ndarray:
+        h = h.copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+
+    ent_turn_key = _mix(
+        turn_ent.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + t_idx.astype(np.uint64)
+    )
     words = []
     for w in range(8):
-        h = (ent_turn_key * np.uint64(2654435761) + np.uint64(w * 97)) % np.uint64(len(vocab))
+        h = _mix(ent_turn_key + np.uint64(w + 1)) % np.uint64(len(vocab))
         words.append(vocab[h.astype(np.int64)])
     text = words[0]
     for w in words[1:]:

@@ -74,6 +74,26 @@ def predict(
         maps = compute_tf_maps(records_ds, tf_cols)
         tf_refs = {c: broadcast(m) for c, m in maps.items()}
 
+    fuse = not settings.retain_matching_columns and not any(
+        r.is_exploding for r in settings.blocking_rules_to_generate_predictions
+    )
+    if fuse:
+        # fast path: pairgen + gamma + scoring in one bucket task — the wide
+        # pair table never crosses the object store (see _FusedPairScoreBucket)
+        scored, metrics = generate_pairs(
+            records_ds,
+            settings,
+            num_buckets=num_buckets,
+            analyze_skew=analyze_skew,
+            score_inline=True,
+            tf_refs=tf_refs,
+        )
+        if threshold_match_probability is not None:
+            scored = scored.filter(expr=f"match_probability >= {threshold_match_probability}")
+        elif threshold_match_weight is not None:
+            scored = scored.filter(expr=f"match_weight >= {threshold_match_weight}")
+        return scored, metrics
+
     pairs, metrics = generate_pairs(
         records_ds, settings, num_buckets=num_buckets, analyze_skew=analyze_skew
     )

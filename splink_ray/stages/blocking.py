@@ -38,8 +38,9 @@ from ..blocking_rule_library import BlockingRule
 from ..settings import Settings
 from .exchange import broadcast, default_num_buckets, keyed_map
 
-PG_COL = "__pg"       # pair-group label (key or key + salt-slot pair)
+PG_COL = "__pg"       # pair-group label (rule + key [+ salt-slot pair])
 SALT_COL = "__salt"
+RULE_COL = "__rule"
 MATCH_KEY_COL = "match_key"
 
 
@@ -126,6 +127,119 @@ def n_largest_blocks(ds_keys, i: int, k: int = 5) -> pd.DataFrame:
     return counts.sort("n", descending=True).limit(k).to_pandas()
 
 
+def analyze_all_rules_skew(
+    ds_keys, rule_idxs: list[int], hot_threshold: int, target_rows: int,
+    cap_pairs: int | None,
+) -> tuple[dict[int, dict], dict[int, dict]]:
+    """One pass over the records for every rule's counts (instead of one
+    shuffle per rule): per-batch partial counts emit (rule, key, n) rows →
+    single small groupby → per-rule metrics + hot-key maps."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for i in rule_idxs:
+            c = bk_col(i)
+            sub = t.select([c]).filter(pc.is_valid(t[c]))
+            if len(sub) == 0:
+                continue
+            g = sub.group_by(c, use_threads=False).aggregate([([], "count_all")])
+            g = g.rename_columns(["key", "n"])
+            parts.append(g.append_column("rule", pa.array(np.full(len(g), i, np.int32))))
+        if not parts:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "rule": pa.array([], pa.int32())}
+            )
+        return pa.concat_tables(parts)
+
+    counts = (
+        ds_keys.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["rule", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # derived metrics need several more passes over the counts; when the
+    # distinct-key table is small (the common case: keys ≪ records) one
+    # driver-side pandas pass replaces four Dataset executions — a large
+    # share of the fixed pipeline latency. The distributed path stays for
+    # billion-key regimes (DRIVER_SIDE_KEY_LIMIT rows ≈ a few hundred MB).
+    DRIVER_SIDE_KEY_LIMIT = 5_000_000
+    n_key_rows = counts.count()
+    if n_key_rows <= DRIVER_SIDE_KEY_LIMIT:
+        cdf = counts.to_pandas()
+        if "rule" not in cdf.columns:
+            cdf = pd.DataFrame({"rule": [], "key": [], "n": []})
+        n = cdf["n"].to_numpy(dtype=np.float64, na_value=0)
+        cdf["pairs"] = n * (n - 1) / 2
+        agg = (
+            cdf.groupby("rule")
+            .agg(pairs=("pairs", "sum"), n_keys=("n", "size"), largest_block=("n", "max"))
+        )
+        hot = cdf[cdf["n"] > hot_threshold]
+        big = cdf[cdf["n"] > int((2 * cap_pairs) ** 0.5)] if cap_pairs is not None else None
+    else:
+        def _derived(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {"rule": t["rule"], "pairs": n * (n - 1) / 2,
+                 "one": np.ones(len(t), np.int64), "nmax": n}
+            )
+
+        from ray.data.aggregate import Max
+
+        counts = counts.materialize()
+        agg = (
+            counts.map_batches(_derived, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(
+                Sum("pairs", alias_name="pairs"),
+                Sum("one", alias_name="n_keys"),
+                Max("nmax", alias_name="largest_block"),
+            )
+            .to_pandas()
+            .set_index("rule")
+        )
+
+        def _safe(df: pd.DataFrame) -> pd.DataFrame:
+            # empty filtered Datasets come back with no columns (Ray drops
+            # the schema of fully-empty results)
+            if "rule" not in df.columns:
+                return pd.DataFrame({"rule": [], "key": [], "n": []})
+            return df
+
+        hot = _safe(counts.filter(expr=f"n > {hot_threshold}").to_pandas())
+        big = (
+            _safe(counts.filter(expr=f"n > {int((2 * cap_pairs) ** 0.5)}").to_pandas())
+            if cap_pairs is not None
+            else None
+        )
+    metrics: dict[int, dict] = {}
+    hot_maps: dict[int, dict] = {}
+    for i in rule_idxs:
+        hi = hot[hot["rule"] == i]
+        hot_maps[i] = {
+            row["key"]: int(np.ceil(row["n"] / target_rows)) for _, row in hi.iterrows()
+        }
+        row = agg.loc[i] if i in agg.index else None
+        m = {
+            "rule": i,
+            "n_keys": int(row["n_keys"]) if row is not None else 0,
+            "total_pairs_pre_exclusion": int(row["pairs"]) if row is not None else 0,
+            "largest_block_rows": int(row["largest_block"]) if row is not None else 0,
+            "n_hot_keys_salted": len(hot_maps[i]),
+        }
+        if cap_pairs is not None:
+            over = 0
+            for nn in big[big["rule"] == i]["n"].to_numpy():
+                p = nn * (nn - 1) // 2
+                if p > cap_pairs:
+                    over += int(p - cap_pairs)
+            m["overflow_pairs_capped"] = over
+        metrics[i] = m
+    return metrics, hot_maps
+
+
 def analyze_rule_skew(
     ds_keys, i: int, hot_threshold: int, target_rows: int, cap_pairs: int | None
 ) -> tuple[dict, dict]:
@@ -195,21 +309,43 @@ def _pairgen_bucket(
     link_type: str,
     source_col: str,
 ) -> pa.Table:
-    """All pair-groups in one bucket → pair table (vectorized index build +
-    two ``take`` calls; no per-row python in the emit path)."""
+    """Single-rule wrapper around :func:`_pairgen_bucket_multi` (used by the
+    exploding-rule path and tests)."""
+    t = tbl.append_column(RULE_COL, pa.array(np.full(len(tbl), rule_idx, np.int32)))
+    return _pairgen_bucket_multi(
+        t, uid_col, out_cols, {rule_idx: earlier_bks}, cap_pairs, link_type, source_col
+    )
+
+
+def _pairgen_bucket_multi(
+    tbl: pa.Table,
+    uid_col: str,
+    out_cols: list[str],
+    earlier_by_rule: dict[int, list[str]],
+    cap_pairs: int | None,
+    link_type: str,
+    source_col: str,
+) -> pa.Table:
+    """All pair-groups (possibly of several blocking rules) in one bucket →
+    pair table. One exchange serves every rule: rows carry ``__rule`` and a
+    rule-prefixed group label, so R rules cost one sort instead of R (the
+    per-stage fixed latency was the scaling bottleneck at bench sizes).
+    Vectorized index build + per-rule ``take``; no per-row python in the
+    emit path."""
     t = tbl.sort_by([(PG_COL, "ascending"), (uid_col, "ascending")])
     pg = np.asarray(t[PG_COL].to_pylist(), dtype=object)
     salt = t[SALT_COL].to_numpy(zero_copy_only=False)
-    uid = np.asarray(t[uid_col].to_pylist(), dtype=object)
+    rule_arr = t[RULE_COL].to_numpy(zero_copy_only=False)
 
     change = np.empty(len(pg), bool)
-    change[0] = True
-    change[1:] = pg[1:] != pg[:-1]
+    if len(pg):
+        change[0] = True
+        change[1:] = pg[1:] != pg[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(pg))
 
-    li_all: list[np.ndarray] = []
-    ri_all: list[np.ndarray] = []
+    by_rule_li: dict[int, list[np.ndarray]] = {}
+    by_rule_ri: dict[int, list[np.ndarray]] = {}
     for s, e in zip(starts, ends):
         label = pg[s]
         if "\x1e" in label:
@@ -243,39 +379,104 @@ def _pairgen_bucket(
             li = li2
         if cap_pairs is not None and li.size > cap_pairs:
             li, ri = li[:cap_pairs], ri[:cap_pairs]
-        li_all.append(li)
-        ri_all.append(ri)
+        r = int(rule_arr[s])
+        by_rule_li.setdefault(r, []).append(li)
+        by_rule_ri.setdefault(r, []).append(ri)
 
-    if li_all:
-        li = np.concatenate(li_all)
-        ri = np.concatenate(ri_all)
-    else:
-        li = ri = np.array([], np.int64)
+    parts: list[pa.Table] = []
+    for r in sorted(earlier_by_rule):
+        earlier_bks = earlier_by_rule[r]
+        if r in by_rule_li:
+            li = np.concatenate(by_rule_li[r])
+            ri = np.concatenate(by_rule_ri[r])
+        else:
+            li = ri = np.array([], np.int64)
+        take_cols = [uid_col] + out_cols + earlier_bks
+        lt = t.select(take_cols).take(pa.array(li))
+        rt = t.select(take_cols).take(pa.array(ri))
 
-    take_cols = [uid_col] + out_cols + earlier_bks
-    lt = t.select(take_cols).take(pa.array(li))
-    rt = t.select(take_cols).take(pa.array(ri))
+        keep = np.ones(len(li), bool)
+        if link_type == "link_only" and source_col in out_cols:
+            keep &= ~pc.equal(lt[source_col], rt[source_col]).to_numpy(zero_copy_only=False)
+        # cross-rule exclusion (B3): drop pairs already produced by earlier rules
+        for c in earlier_bks:
+            eq = pc.and_(
+                pc.and_(pc.is_valid(lt[c]), pc.is_valid(rt[c])),
+                pc.equal(lt[c], rt[c]),
+            )
+            keep &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
 
-    keep = np.ones(len(li), bool)
-    if link_type == "link_only" and source_col in out_cols:
-        keep &= ~pc.equal(lt[source_col], rt[source_col]).to_numpy(zero_copy_only=False)
-    # cross-rule exclusion (B3): drop pairs already produced by earlier rules
-    for c in earlier_bks:
-        eq = pc.and_(
-            pc.and_(pc.is_valid(lt[c]), pc.is_valid(rt[c])),
-            pc.equal(lt[c], rt[c]),
-        )
-        keep &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        data = {f"{uid_col}_l": lt[uid_col], f"{uid_col}_r": rt[uid_col]}
+        for c in out_cols:
+            data[f"{c}_l"] = lt[c]
+            data[f"{c}_r"] = rt[c]
+        data[MATCH_KEY_COL] = pa.array(np.full(len(li), r, np.int32), pa.int32())
+        out = pa.table(data)
+        if not keep.all():
+            out = out.filter(pa.array(keep))
+        parts.append(out)
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
-    data = {f"{uid_col}_l": lt[uid_col], f"{uid_col}_r": rt[uid_col]}
-    for c in out_cols:
-        data[f"{c}_l"] = lt[c]
-        data[f"{c}_r"] = rt[c]
-    data[MATCH_KEY_COL] = pa.array(np.full(len(li), rule_idx, np.int32), pa.int32())
-    out = pa.table(data)
-    if not keep.all():
-        out = out.filter(pa.array(keep))
-    return out
+
+class _MultiSaltExpander:
+    """map_batches fn: emit one row per (record, rule) with a rule-prefixed
+    group label (+ salt-slot replication for hot keys) — all rules share ONE
+    downstream exchange. Hot-key maps broadcast once via ``ray.put``."""
+
+    def __init__(self, hot_ref, rule_idxs: list[int], uid_col: str):
+        import ray
+
+        self.hot: dict[int, dict] = ray.get(hot_ref) if hot_ref is not None else {}
+        self.rule_idxs = rule_idxs
+        self.uid_col = uid_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        parts = []
+        for i in self.rule_idxs:
+            key_c = bk_col(i)
+            sub = t.filter(pc.is_valid(t[key_c]))
+            if len(sub) == 0:
+                continue
+            keys = np.asarray(sub[key_c].to_pylist(), dtype=object)
+            labels_base = np.char.add(f"{i}\x1d", keys.astype(str))
+            hot = self.hot.get(i) or {}
+            default_p = hot.get("*", 1)
+            if not hot or (default_p == 1 and not any(v > 1 for v in hot.values())):
+                part = sub.append_column(PG_COL, pa.array(labels_base, pa.string()))
+                part = part.append_column(SALT_COL, pa.array(np.zeros(len(sub), np.int32)))
+                parts.append(part.append_column(RULE_COL, pa.array(np.full(len(sub), i, np.int32))))
+                continue
+            ps = np.fromiter((hot.get(k, default_p) for k in keys), np.int64, len(keys))
+            plain = ps == 1
+            if plain.any():
+                tp = sub.filter(pa.array(plain))
+                part = tp.append_column(PG_COL, pa.array(labels_base[plain], pa.string()))
+                part = part.append_column(SALT_COL, pa.array(np.zeros(int(plain.sum()), np.int32)))
+                parts.append(part.append_column(RULE_COL, pa.array(np.full(len(tp), i, np.int32))))
+            hot_idx = np.flatnonzero(~plain)
+            if hot_idx.size:
+                uids = np.asarray(sub[self.uid_col].to_pylist(), dtype=object)[hot_idx]
+                salts = (
+                    pd.util.hash_array(uids, categorize=False)
+                    % ps[hot_idx].astype(np.uint64)
+                ).astype(np.int64)
+                rep_rows, labels, rep_salts = [], [], []
+                for row, base, p, s in zip(hot_idx, labels_base[hot_idx], ps[hot_idx], salts):
+                    for other in range(p):
+                        a, b = (s, other) if s <= other else (other, s)
+                        rep_rows.append(row)
+                        labels.append(f"{base}\x1e{a}_{b}")
+                        rep_salts.append(s)
+                th = sub.take(pa.array(np.asarray(rep_rows)))
+                part = th.append_column(PG_COL, pa.array(labels, pa.string()))
+                part = part.append_column(SALT_COL, pa.array(np.asarray(rep_salts, np.int32)))
+                parts.append(part.append_column(RULE_COL, pa.array(np.full(len(th), i, np.int32))))
+        if not parts:
+            out = t.slice(0, 0)
+            out = out.append_column(PG_COL, pa.array([], pa.string()))
+            out = out.append_column(SALT_COL, pa.array([], pa.int32()))
+            return out.append_column(RULE_COL, pa.array([], pa.int32()))
+        return pa.concat_tables(parts)
 
 
 class _SaltExpander:
@@ -336,20 +537,179 @@ class _SaltExpander:
         return pa.concat_tables(out_parts)
 
 
+# per-worker-process caches for the fused pairgen+score tasks: the DuckDB
+# kernel is a process singleton already (duckdb_kernels.get_kernel); TF maps
+# are fetched from plasma once per process per object ref
+_TF_CACHE: dict = {}
+
+
+def _fused_tf_maps(tf_refs):
+    if not tf_refs:
+        return {}
+    key = tuple(sorted((c, ref.hex() if hasattr(ref, "hex") else str(ref)) for c, ref in tf_refs.items()))
+    if key not in _TF_CACHE:
+        import ray
+
+        _TF_CACHE[key] = {c: ray.get(ref) for c, ref in tf_refs.items()}
+    return _TF_CACHE[key]
+
+
+def _make_fused_fn(settings, rule_idx, earlier_bks, out_cols, tf_refs, keep_cols):
+    """Pair generation + gamma + FS scoring in ONE task.
+
+    The wide (column-doubled) pair table exists only task-locally; only the
+    narrow scored rows (ids, match_key, gammas, weight, probability) leave
+    through the object store. Measured on 22M pairs / 1M turns: the unfused
+    path spent >100 s shipping ~5 GB of doubled text between pairgen and the
+    scorer. Plain tasks (not an actor pool): actor-based map_groups after a
+    sort stalls at low CPU counts; process-level caches keep the per-task
+    setup cost near zero anyway."""
+    from ..settings import make_eval_context
+
+    def _fn(t: pa.Table) -> pa.Table:
+        from .scoring import score_pair_batch
+
+        pairs = _pairgen_bucket(
+            t,
+            rule_idx,
+            settings.unique_id_column_name,
+            out_cols,
+            earlier_bks,
+            settings.max_pairs_per_block,
+            settings.link_type,
+            settings.source_dataset_column_name,
+        )
+        ctx = make_eval_context(settings)
+        return score_pair_batch(
+            pairs, settings, ctx, _fused_tf_maps(tf_refs), keep_cols
+        )
+
+    return _fn
+
+
+def _pairgen_score_stream(
+    tbl: pa.Table,
+    settings: Settings,
+    out_cols: list[str],
+    earlier_by_rule: dict[int, list[str]],
+    tf_refs,
+    keep_cols: list[str],
+    chunk_pairs: int = 262_144,
+):
+    """Generator: pair indices for the whole bucket, then take→score→yield in
+    ``chunk_pairs`` slices. Peak memory per task stays ~chunk-sized even for
+    multi-million-pair blocks (a 2.4M-pair block's wide table is ~1.5 GB;
+    32 concurrent tasks of those thrash the heap — measured 471k pairs/s at
+    32 CPUs, chunked it is compute-bound again)."""
+    from ..settings import make_eval_context
+    from .scoring import score_pair_batch
+
+    uid_col = settings.unique_id_column_name
+    cap_pairs = settings.max_pairs_per_block
+    link_type = settings.link_type
+    source_col = settings.source_dataset_column_name
+
+    t = tbl.sort_by([(PG_COL, "ascending"), (uid_col, "ascending")])
+    pg = np.asarray(t[PG_COL].to_pylist(), dtype=object)
+    if len(pg) == 0:
+        return
+    salt = t[SALT_COL].to_numpy(zero_copy_only=False)
+    rule_arr = t[RULE_COL].to_numpy(zero_copy_only=False)
+
+    change = np.empty(len(pg), bool)
+    change[0] = True
+    change[1:] = pg[1:] != pg[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(pg))
+
+    by_rule_li: dict[int, list[np.ndarray]] = {}
+    by_rule_ri: dict[int, list[np.ndarray]] = {}
+    for s, e in zip(starts, ends):
+        label = pg[s]
+        if "\x1e" in label:
+            s1s2 = label.rsplit("\x1e", 1)[1]
+            s1, s2 = (int(x) for x in s1s2.split("_"))
+        else:
+            s1 = s2 = None
+        if s1 is None or s1 == s2:
+            rows = np.arange(s, e) if s1 is None else np.arange(s, e)[salt[s:e] == s1]
+            if rows.size < 2:
+                continue
+            a, b = _triangle(rows.size)
+            li, ri = rows[a], rows[b]
+        else:
+            rows_a = np.arange(s, e)[salt[s:e] == s1]
+            rows_b = np.arange(s, e)[salt[s:e] == s2]
+            if rows_a.size == 0 or rows_b.size == 0:
+                continue
+            li = np.repeat(rows_a, rows_b.size)
+            ri = np.tile(rows_b, rows_a.size)
+            swap = li > ri
+            li2 = np.where(swap, ri, li)
+            ri = np.where(swap, li, ri)
+            li = li2
+        if cap_pairs is not None and li.size > cap_pairs:
+            li, ri = li[:cap_pairs], ri[:cap_pairs]
+        r = int(rule_arr[s])
+        by_rule_li.setdefault(r, []).append(li)
+        by_rule_ri.setdefault(r, []).append(ri)
+
+    ctx = make_eval_context(settings)
+    tf_maps = _fused_tf_maps(tf_refs)
+    for r in sorted(by_rule_li):
+        earlier_bks = earlier_by_rule[r]
+        li = np.concatenate(by_rule_li[r])
+        ri = np.concatenate(by_rule_ri[r])
+        take_cols = [uid_col] + out_cols + earlier_bks
+        sel = t.select(take_cols)
+        for lo in range(0, len(li), chunk_pairs):
+            cl = pa.array(li[lo : lo + chunk_pairs])
+            cr = pa.array(ri[lo : lo + chunk_pairs])
+            lt = sel.take(cl)
+            rt = sel.take(cr)
+            keep = np.ones(len(cl), bool)
+            if link_type == "link_only" and source_col in out_cols:
+                keep &= ~pc.equal(lt[source_col], rt[source_col]).to_numpy(zero_copy_only=False)
+            for c in earlier_bks:
+                eq = pc.and_(
+                    pc.and_(pc.is_valid(lt[c]), pc.is_valid(rt[c])),
+                    pc.equal(lt[c], rt[c]),
+                )
+                keep &= ~pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            data = {f"{uid_col}_l": lt[uid_col], f"{uid_col}_r": rt[uid_col]}
+            for c in out_cols:
+                data[f"{c}_l"] = lt[c]
+                data[f"{c}_r"] = rt[c]
+            data[MATCH_KEY_COL] = pa.array(np.full(len(cl), r, np.int32), pa.int32())
+            wide = pa.table(data)
+            if not keep.all():
+                wide = wide.filter(pa.array(keep))
+            yield score_pair_batch(wide, settings, ctx, tf_maps, keep_cols)
+
+
 def generate_pairs(
     records_ds,
     settings: Settings,
     num_buckets: int | None = None,
     analyze_skew: bool = True,
     collect_metrics: bool = True,
+    score_inline: bool = False,
+    tf_refs: dict | None = None,
 ):
     """Records Dataset → candidate-pair Dataset + blocking metrics.
 
     The pair table has column doubling (``c_l`` / ``c_r``) for every column
-    the comparisons need, plus ``match_key`` (SURVEY.md §1.3)."""
+    the comparisons need, plus ``match_key`` (SURVEY.md §1.3).
+
+    ``score_inline=True`` fuses gamma + FS scoring into the pairgen bucket
+    task (actor pool holding the DuckDB kernel + broadcast TF maps) and emits
+    only narrow scored rows — the fast path ``predict()`` uses when matching
+    columns need not be retained."""
     rules = settings.blocking_rules_to_generate_predictions
     if not rules:
         raise ValueError("no blocking rules configured")
+    if score_inline and any(r.is_exploding for r in rules):
+        raise ValueError("score_inline does not support exploding rules")
     uid = settings.unique_id_column_name
     out_cols = sorted(settings.columns_needed() - {uid})
     if num_buckets is None:
@@ -358,13 +718,98 @@ def generate_pairs(
     metrics: dict = {"rules": []}
     non_exploding = [r for r in rules if not r.is_exploding]
     plain_keys = derive_block_keys(records_ds, rules) if non_exploding else None
+    plain_metrics: dict[int, dict] = {}
+    plain_hot: dict[int, dict] = {}
+    if plain_keys is not None and (analyze_skew or collect_metrics):
+        plain_idxs = [i for i, r in enumerate(rules) if not r.is_exploding]
+        plain_metrics, plain_hot = analyze_all_rules_skew(
+            plain_keys,
+            plain_idxs,
+            settings.hot_key_threshold,
+            settings.target_rows_per_salted_block,
+            settings.max_pairs_per_block,
+        )
+    keep_cols = [f"{uid}_l", f"{uid}_r", MATCH_KEY_COL] + [
+        f"{c}_{s}"
+        for c in settings.additional_columns_to_retain
+        for s in ("l", "r")
+    ]
     pair_dss = []
-    for i, rule in enumerate(rules):
-        if rule.is_exploding:
-            ds_keys = derive_block_keys(explode_for_rule(records_ds, rule), rules)
+
+    # ---- all non-exploding rules share ONE exchange ----------------------
+    plain_idxs = [i for i, r in enumerate(rules) if not r.is_exploding]
+    if plain_idxs:
+        hot_by_rule: dict[int, dict] = {}
+        for i in plain_idxs:
+            hm = dict(plain_hot.get(i, {}))
+            if rules[i].salting_partitions > 1:
+                hm = {"*": rules[i].salting_partitions, **hm}
+            if hm:
+                hot_by_rule[i] = hm
+            if analyze_skew or collect_metrics:
+                if i in plain_metrics:
+                    metrics["rules"].append(plain_metrics[i])
+        hot_ref = broadcast(hot_by_rule) if hot_by_rule else None
+        expanded = plain_keys.map_batches(
+            _MultiSaltExpander,
+            batch_format="pyarrow",
+            concurrency=(1, max(2, default_num_buckets() // 3)),
+            fn_constructor_kwargs={
+                "hot_ref": hot_ref,
+                "rule_idxs": plain_idxs,
+                "uid_col": uid,
+            },
+        )
+        earlier_by_rule = {i: [bk_col(j) for j in range(i)] for i in plain_idxs}
+
+        if score_inline:
+
+            def _bucket_fn(t: pa.Table) -> pa.Table:
+                # chunked take→score keeps peak memory ~chunk-sized; only the
+                # NARROW scored chunks are held and concatenated (the wide
+                # chunk is dropped as soon as it's scored)
+                chunks = list(
+                    _pairgen_score_stream(
+                        t, settings, out_cols, earlier_by_rule, tf_refs, keep_cols
+                    )
+                )
+                if chunks:
+                    return chunks[0] if len(chunks) == 1 else pa.concat_tables(chunks)
+                from ..settings import make_eval_context
+                from .scoring import score_pair_batch
+
+                empty_wide = _pairgen_bucket_multi(
+                    t.slice(0, 0),
+                    uid,
+                    out_cols,
+                    earlier_by_rule,
+                    None,
+                    settings.link_type,
+                    settings.source_dataset_column_name,
+                )
+                return score_pair_batch(
+                    empty_wide, settings, make_eval_context(settings), {}, keep_cols
+                )
         else:
-            ds_keys = plain_keys
-        key_c = bk_col(i)
+
+            def _bucket_fn(t: pa.Table) -> pa.Table:
+                return _pairgen_bucket_multi(
+                    t,
+                    uid,
+                    out_cols,
+                    earlier_by_rule,
+                    settings.max_pairs_per_block,
+                    settings.link_type,
+                    settings.source_dataset_column_name,
+                )
+
+        pair_dss.append(keyed_map(expanded, PG_COL, _bucket_fn, num_buckets=num_buckets))
+
+    # ---- exploding rules: per-rule legacy path ---------------------------
+    for i, rule in enumerate(rules):
+        if not rule.is_exploding:
+            continue
+        ds_keys = derive_block_keys(explode_for_rule(records_ds, rule), rules)
         hot_map: dict = {}
         if analyze_skew or collect_metrics:
             m, hot_map = analyze_rule_skew(
@@ -376,15 +821,13 @@ def generate_pairs(
             )
             metrics["rules"].append(m)
         if rule.salting_partitions > 1:
-            # static salting hint: salt every key of this rule
             hot_map = {"*": rule.salting_partitions, **hot_map}
         hot_ref = broadcast(hot_map) if hot_map else None
-
         expanded = ds_keys.map_batches(
             _SaltExpander,
             batch_format="pyarrow",
             concurrency=(1, max(2, default_num_buckets() // 3)),
-            fn_constructor_kwargs={"hot_ref": hot_ref, "key_c": key_c, "uid_col": uid},
+            fn_constructor_kwargs={"hot_ref": hot_ref, "key_c": bk_col(i), "uid_col": uid},
         )
         earlier = [bk_col(j) for j in range(i)]
 
@@ -404,10 +847,10 @@ def generate_pairs(
             return _pg
 
         pairs_i = keyed_map(expanded, PG_COL, _mk(i, earlier), num_buckets=num_buckets)
-        if rule.is_exploding:
-            pairs_i = dedupe_pairs(pairs_i, uid, num_buckets)
+        pairs_i = dedupe_pairs(pairs_i, uid, num_buckets)
         pair_dss.append(pairs_i)
 
+    metrics["rules"].sort(key=lambda m: m["rule"])
     pairs = pair_dss[0]
     for p in pair_dss[1:]:
         pairs = pairs.union(p)

@@ -24,6 +24,51 @@ from ..model import score_gamma_table
 from ..settings import Settings, make_eval_context
 
 
+def _tf_lookup(tf_maps: dict, pairs: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+    m = tf_maps.get(column)
+    if m is None:
+        n = len(pairs)
+        return np.full(n, np.nan), np.full(n, np.nan)
+    tl = pd.Series(pairs[f"{column}_l"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
+    tr = pd.Series(pairs[f"{column}_r"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
+    return tl, tr
+
+
+def score_pair_batch(
+    pairs: pa.Table,
+    settings: Settings,
+    ctx,
+    tf_maps: dict,
+    keep_cols: list | None,
+    compute_score: bool = True,
+) -> pa.Table:
+    """Gamma cascade + FS scoring over one Arrow pair batch (pure function;
+    shared by the standalone scorer actors and the fused pairgen+score
+    bucket stage)."""
+    gammas: dict[str, np.ndarray] = {}
+    tf_values: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for comp in settings.comparisons:
+        gammas[comp.gamma_column_name] = comp.compute_gamma(pairs, ctx)
+        tf_cols = {
+            lv.tf_adjustment_column
+            for lv in comp.comparison_levels
+            if lv.tf_adjustment_column
+        }
+        if tf_cols:
+            tf_values[comp.output_column_name] = _tf_lookup(tf_maps, pairs, tf_cols.pop())
+
+    out = pairs
+    if keep_cols is not None:
+        out = out.select([c for c in keep_cols if c in out.column_names])
+    for name, g in gammas.items():
+        out = out.append_column(name, pa.array(g, pa.int32()))
+    if compute_score:
+        scores = score_gamma_table(settings, gammas, tf_values)
+        for name in sorted(scores):
+            out = out.append_column(name, pa.array(scores[name], pa.float64()))
+    return out
+
+
 class GammaScorer:
     """Callable class for ``map_batches(GammaScorer, concurrency=(m, n),
     fn_constructor_kwargs=...)``."""
@@ -45,39 +90,15 @@ class GammaScorer:
 
             self.tf_maps = {c: ray.get(ref) for c, ref in tf_refs.items()}
 
-    def _tf_lookup(self, pairs: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
-        m = self.tf_maps.get(column)
-        if m is None:
-            n = len(pairs)
-            return np.full(n, np.nan), np.full(n, np.nan)
-        tl = pd.Series(pairs[f"{column}_l"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
-        tr = pd.Series(pairs[f"{column}_r"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
-        return tl, tr
-
     def __call__(self, pairs: pa.Table) -> pa.Table:
-        s = self.settings
-        gammas: dict[str, np.ndarray] = {}
-        tf_values: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for comp in s.comparisons:
-            gammas[comp.gamma_column_name] = comp.compute_gamma(pairs, self.ctx)
-            tf_cols = {
-                lv.tf_adjustment_column
-                for lv in comp.comparison_levels
-                if lv.tf_adjustment_column
-            }
-            if tf_cols:
-                tf_values[comp.output_column_name] = self._tf_lookup(pairs, tf_cols.pop())
-
-        out = pairs
-        if self.keep_cols is not None:
-            out = out.select([c for c in self.keep_cols if c in out.column_names])
-        for name, g in gammas.items():
-            out = out.append_column(name, pa.array(g, pa.int32()))
-        if self.compute_score:
-            scores = score_gamma_table(s, gammas, tf_values)
-            for name in sorted(scores):
-                out = out.append_column(name, pa.array(scores[name], pa.float64()))
-        return out
+        return score_pair_batch(
+            pairs,
+            self.settings,
+            self.ctx,
+            self.tf_maps,
+            self.keep_cols,
+            self.compute_score,
+        )
 
 
 def score_pairs(
@@ -105,7 +126,10 @@ def score_pairs(
     if concurrency is None:
         from .exchange import default_parallelism
 
-        concurrency = (1, max(2, default_parallelism()))
+        # autoscaling from 1 actor ramps far too slowly for a short stage —
+        # start the pool near cluster size (measured 54s → 8s on 22M pairs)
+        p = default_parallelism()
+        concurrency = (max(2, p // 2), max(2, p))
     scored = pairs_ds.map_batches(
         GammaScorer,
         batch_format="pyarrow",
