@@ -28,12 +28,16 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/splink_ray_bench"
+# pipeline outputs go to tmpfs: a single VM disk (~150 MB/s) caps a
+# 10-GB scored write identically at every CPU count, which a multi-node
+# cluster's storage would not — tmpfs bandwidth scales like cluster storage
+OUT_BASE = "/dev/shm/splink_ray_bench"
 SEED = 42
 
 
 def _fixture_path(turns: int) -> str:
     epd = os.environ.get("BENCH_EPD", "1000")
-    return os.path.join(BENCH_DIR, f"transcripts_{turns}_s{SEED}_v3_epd{epd}")
+    return os.path.join(BENCH_DIR, f"transcripts_{turns}_s{SEED}_v4_epd{epd}")
 
 
 def ensure_fixture(turns: int) -> str:
@@ -91,7 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
 
     timings: dict[str, float] = {}
     extras: dict = {"turns": turns}
-    out_dir = os.path.join(BENCH_DIR, f"out_{num_cpus}")
+    out_dir = os.path.join(OUT_BASE, f"out_{num_cpus}")
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -191,6 +195,9 @@ def main() -> None:
     turns = int(os.environ.get("BENCH_TURNS", "1000000"))
 
     if "--scaling" in sys.argv:
+        # scaling evidence uses the 10^12-turn-representative block density
+        # (multi-thousand-row blocking keys) unless the caller pins BENCH_EPD
+        os.environ.setdefault("BENCH_EPD", "4000")
         ensure_fixture(turns)  # generate + warm once, outside both timings
 
         def run(ncpu: int) -> dict:

@@ -43,6 +43,14 @@ class EvalContext:
         self.use_duckdb = use_duckdb
         self.tf_tables = tf_tables or {}
         self._duck = None
+        # per-batch kernel-value cache: AtThresholds ladders (JW 0.95 then
+        # 0.88, lev 1 then 2, …) evaluate the SAME similarity kernel per
+        # level; caching halves string-kernel cost vs splink's CASE WHEN,
+        # which recomputes. Cleared by the scorer after each batch.
+        self.kernel_cache: dict = {}
+
+    def clear_cache(self):
+        self.kernel_cache.clear()
 
     @property
     def duck(self):
@@ -288,17 +296,23 @@ class _StringDistanceLevel(ComparisonLevel):
         return f"{self._sql_fn}({ls}, {rs})"
 
     def _evaluate(self, pairs, ctx):
-        l, r = _pair_arrays(self.col_expression, pairs)
-        valid = _valid_pair_mask(l, r)
-        if not valid.any():
-            return np.zeros(len(pairs), bool)
-        if ctx.duck is not None:
-            vals = ctx.duck.eval_expr(self._duck_expr(), l, r)
-            v = pc.fill_null(vals, -1e18 if self._higher_is_better else 1e18)
-            v = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        key = (id(pairs), self._fn, self.col_expression)
+        cached = ctx.kernel_cache.get(key)
+        if cached is not None:
+            v, valid = cached
         else:
-            la, ra = _strings(l, valid), _strings(r, valid)
-            v = getattr(kernels, self._fn)(la, ra).astype(np.float64)
+            l, r = _pair_arrays(self.col_expression, pairs)
+            valid = _valid_pair_mask(l, r)
+            if not valid.any():
+                v = np.zeros(len(pairs), np.float64)
+            elif ctx.duck is not None:
+                vals = ctx.duck.eval_expr(self._duck_expr(), l, r)
+                fill = -1e18 if self._higher_is_better else 1e18
+                v = pc.fill_null(vals, fill).to_numpy(zero_copy_only=False).astype(np.float64)
+            else:
+                la, ra = _strings(l, valid), _strings(r, valid)
+                v = getattr(kernels, self._fn)(la, ra).astype(np.float64)
+            ctx.kernel_cache[key] = (v, valid)
         ok = (v >= self._threshold) if self._higher_is_better else (v <= self._threshold)
         return ok & valid
 

@@ -299,7 +299,7 @@ def generate_transcripts_fast(
         + t_idx.astype(np.uint64)
     )
     words = []
-    for w in range(8):
+    for w in range(14):  # ~115-char turns — realistic transcript length
         h = _mix(ent_turn_key + np.uint64(w + 1)) % np.uint64(len(vocab))
         words.append(vocab[h.astype(np.int64)])
     text = words[0]

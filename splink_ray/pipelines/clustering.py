@@ -223,14 +223,18 @@ def cluster_pairwise_predictions_at_threshold(
         return self_clustered, {"method": "empty", "n_edges": 0}
     edges = _threshold_edges(predictions_ds, threshold_match_probability, uid)
 
+    edf = None
     if method == "auto":
-        n_edges = edges.count()
-        method = "local" if n_edges <= local_edge_limit else "distributed"
-        edges = _threshold_edges(predictions_ds, threshold_match_probability, uid)
+        # single scan: fetch the thresholded edges directly (matches are a
+        # small fraction); fall back to the distributed solver only if the
+        # fetch turns out oversized
+        edf = edges.to_pandas()
+        method = "local" if len(edf) <= local_edge_limit else "distributed"
 
     info = {"method": method}
     if method == "local":
-        edf = edges.to_pandas()
+        if edf is None:
+            edf = edges.to_pandas()
         rep_map = _components_local(edf, uid)
         ref = broadcast(rep_map)
 

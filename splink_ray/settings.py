@@ -82,19 +82,20 @@ class Comparison:
         """
         n = len(pairs)
         gamma = np.zeros(n, np.int32)
-        remaining = np.arange(n)
+        assigned = np.zeros(n, bool)
         for lv in self.comparison_levels:
-            if remaining.size == 0:
+            if assigned.all():
                 break
             if isinstance(lv, ElseLevel):
-                gamma[remaining] = lv.comparison_vector_value
-                remaining = remaining[:0]
+                gamma[~assigned] = lv.comparison_vector_value
                 break
-            sub = pairs if remaining.size == n else pairs.take(remaining)
-            cond = lv.evaluate(sub, ctx)
-            hit = remaining[cond]
-            gamma[hit] = lv.comparison_vector_value
-            remaining = remaining[~cond]
+            # full-batch evaluation (masked afterwards) so threshold ladders
+            # sharing a kernel hit the EvalContext kernel cache — one JW/lev
+            # evaluation per (batch, column) instead of one per level
+            cond = lv.evaluate(pairs, ctx)
+            newly = cond & ~assigned
+            gamma[newly] = lv.comparison_vector_value
+            assigned |= newly
         return gamma
 
     def gamma_case_sql(self) -> str:

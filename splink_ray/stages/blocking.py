@@ -130,10 +130,14 @@ def n_largest_blocks(ds_keys, i: int, k: int = 5) -> pd.DataFrame:
 def analyze_all_rules_skew(
     ds_keys, rule_idxs: list[int], hot_threshold: int, target_rows: int,
     cap_pairs: int | None,
+    approx_records: int | None = None,
 ) -> tuple[dict[int, dict], dict[int, dict]]:
     """One pass over the records for every rule's counts (instead of one
     shuffle per rule): per-batch partial counts emit (rule, key, n) rows →
-    single small groupby → per-rule metrics + hot-key maps."""
+    merged per-rule metrics + hot-key maps. When the key space is small the
+    partials are merged driver-side in pandas (ONE dataset execution — the
+    distributed groupby + filters cost ~8 s of fixed latency per predict);
+    the distributed merge remains for billion-key regimes."""
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -153,23 +157,13 @@ def analyze_all_rules_skew(
             )
         return pa.concat_tables(parts)
 
-    counts = (
-        ds_keys.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["rule", "key"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    # derived metrics need several more passes over the counts; when the
-    # distinct-key table is small (the common case: keys ≪ records) one
-    # driver-side pandas pass replaces four Dataset executions — a large
-    # share of the fixed pipeline latency. The distributed path stays for
-    # billion-key regimes (DRIVER_SIDE_KEY_LIMIT rows ≈ a few hundred MB).
     DRIVER_SIDE_KEY_LIMIT = 5_000_000
-    n_key_rows = counts.count()
-    if n_key_rows <= DRIVER_SIDE_KEY_LIMIT:
-        cdf = counts.to_pandas()
+    if approx_records is not None and approx_records <= DRIVER_SIDE_KEY_LIMIT:
+        # small key space: fetch the per-batch partials and merge in pandas
+        cdf = ds_keys.map_batches(_partial, batch_format="pyarrow").to_pandas()
         if "rule" not in cdf.columns:
             cdf = pd.DataFrame({"rule": [], "key": [], "n": []})
+        cdf = cdf.groupby(["rule", "key"], as_index=False)["n"].sum()
         n = cdf["n"].to_numpy(dtype=np.float64, na_value=0)
         cdf["pairs"] = n * (n - 1) / 2
         agg = (
@@ -179,6 +173,12 @@ def analyze_all_rules_skew(
         hot = cdf[cdf["n"] > hot_threshold]
         big = cdf[cdf["n"] > int((2 * cap_pairs) ** 0.5)] if cap_pairs is not None else None
     else:
+        counts = (
+            ds_keys.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["rule", "key"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
         def _derived(t: pa.Table) -> pa.Table:
             n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
             return pa.table(
@@ -717,17 +717,33 @@ def generate_pairs(
 
     metrics: dict = {"rules": []}
     non_exploding = [r for r in rules if not r.is_exploding]
-    plain_keys = derive_block_keys(records_ds, rules) if non_exploding else None
+    plain_keys = None
+    if non_exploding:
+        plain_keys = derive_block_keys(records_ds, rules)
+        # project to what pairgen needs BEFORE the exchange: records often
+        # carry heavy payload columns (turn_texts ≈ the whole conversation)
+        # that no comparison reads — shipping them through the sort wastes
+        # most of the exchange bandwidth
+        needed = [uid] + out_cols + [bk_col(j) for j in range(len(rules))]
+        plain_keys = plain_keys.map_batches(
+            lambda t, cols=tuple(needed): t.select([c for c in cols if c in t.column_names]),
+            batch_format="pyarrow",
+        )
     plain_metrics: dict[int, dict] = {}
     plain_hot: dict[int, dict] = {}
     if plain_keys is not None and (analyze_skew or collect_metrics):
         plain_idxs = [i for i, r in enumerate(rules) if not r.is_exploding]
+        try:
+            n_records = records_ds.count()
+        except Exception:
+            n_records = None
         plain_metrics, plain_hot = analyze_all_rules_skew(
             plain_keys,
             plain_idxs,
             settings.hot_key_threshold,
             settings.target_rows_per_salted_block,
             settings.max_pairs_per_block,
+            approx_records=n_records,
         )
     keep_cols = [f"{uid}_l", f"{uid}_r", MATCH_KEY_COL] + [
         f"{c}_{s}"

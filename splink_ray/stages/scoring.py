@@ -57,6 +57,8 @@ def score_pair_batch(
         if tf_cols:
             tf_values[comp.output_column_name] = _tf_lookup(tf_maps, pairs, tf_cols.pop())
 
+    if hasattr(ctx, "clear_cache"):
+        ctx.clear_cache()
     out = pairs
     if keep_cols is not None:
         out = out.select([c for c in keep_cols if c in out.column_names])
