@@ -349,4 +349,16 @@ def estimate_parameters_using_expectation_maximisation(
             if not fix_u_probabilities and not lv.fix_u_probability:
                 lv.u_probability = lv_src.u_probability
     result["trained_comparisons"] = [c.output_column_name for c in session.comparisons]
+    # degenerate-collapse detection (λ→1 with m ≈ marginals) — the failure
+    # mode of weakly-separating training rules; surface it loudly
+    if result["lambda"] > 0.99 or result["lambda"] < 1e-6:
+        import warnings
+
+        result["degenerate"] = True
+        warnings.warn(
+            f"EM session on rule '{blocking_rule.description}' converged to "
+            f"lambda={result['lambda']:.4f} — likely a degenerate one-class "
+            "optimum; retrain with a tighter blocking rule",
+            stacklevel=2,
+        )
     return result

@@ -163,3 +163,35 @@ def test_sources_roundtrip(ray_session, tmp_path, array_records):
     csv_path = str(tmp_path / "t.csv")
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(csv_path, index=False)
     assert read_table(csv_path).count() == 2
+
+
+def test_static_salting_partitions(ray_session, array_records):
+    """B4 static hint: rule.salting_partitions salts EVERY key of the rule;
+    output pair set must be unchanged."""
+    import ray.data as rd
+    from splink_ray import block_on
+
+    base = Settings(
+        blocking_rules_to_generate_predictions=[block_on("val")],  # unique-ish
+        comparisons=[cl.AbsoluteDifferenceAtThresholds("val", (0.5,))],
+    )
+    # block on a 3-way key for real groups
+    import pyarrow.compute as pc
+
+    def first_tag(t):
+        return pc.list_element(t["tags"], 0)
+
+    base.blocking_rules_to_generate_predictions = [
+        KeyFunctionRule(key_fn=first_tag, name="ft")
+    ]
+    salted = Settings(
+        blocking_rules_to_generate_predictions=[
+            KeyFunctionRule(key_fn=first_tag, name="ft", salting_partitions=3)
+        ],
+        comparisons=[cl.AbsoluteDifferenceAtThresholds("val", (0.5,))],
+    )
+    ds = rd.from_arrow(array_records)
+    p0 = generate_pairs(ds, base, num_buckets=4, analyze_skew=False, collect_metrics=False)[0].to_pandas()
+    p1 = generate_pairs(ds, salted, num_buckets=4, analyze_skew=False, collect_metrics=False)[0].to_pandas()
+    assert set(zip(p0.unique_id_l, p0.unique_id_r)) == set(zip(p1.unique_id_l, p1.unique_id_r))
+    assert not p1.duplicated(["unique_id_l", "unique_id_r"]).any()
