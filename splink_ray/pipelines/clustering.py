@@ -189,6 +189,16 @@ def _components_distributed(
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        if rounds >= max_rounds:
+            import warnings
+
+            warnings.warn(
+                f"connected components hit max_rounds={max_rounds} before "
+                "converging — graph has a longer chain than expected; labels "
+                "may be incomplete (raise max_rounds)",
+                stacklevel=2,
+            )
     return labels, rounds
 
 
