@@ -712,6 +712,12 @@ def generate_pairs(
         raise ValueError("score_inline does not support exploding rules")
     uid = settings.unique_id_column_name
     out_cols = sorted(settings.columns_needed() - {uid})
+    # link jobs need the source column in the pair table for the
+    # cross-source-only / both-kinds predicates
+    if settings.link_type != "dedupe_only":
+        src_c = settings.source_dataset_column_name
+        if src_c not in out_cols:
+            out_cols = sorted(out_cols + [src_c])
     if num_buckets is None:
         num_buckets = default_num_buckets()
 

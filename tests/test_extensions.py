@@ -195,3 +195,33 @@ def test_static_salting_partitions(ray_session, array_records):
     p1 = generate_pairs(ds, salted, num_buckets=4, analyze_skew=False, collect_metrics=False)[0].to_pandas()
     assert set(zip(p0.unique_id_l, p0.unique_id_r)) == set(zip(p1.unique_id_l, p1.unique_id_r))
     assert not p1.duplicated(["unique_id_l", "unique_id_r"]).any()
+
+
+def test_link_only_and_link_and_dedupe(ray_session):
+    """Multi-source link jobs: link_only keeps only cross-source pairs;
+    link_and_dedupe keeps both (splink link_type semantics)."""
+    import ray.data as rd
+    from splink_ray import Linker
+
+    a = pa.table({"unique_id": ["a1", "a2", "a3"], "city": ["x", "x", "y"]})
+    b = pa.table({"unique_id": ["b1", "b2"], "city": ["x", "y"]})
+
+    def run(link_type):
+        s = Settings(
+            link_type=link_type,
+            blocking_rules_to_generate_predictions=[block_on("city")],
+            comparisons=[cl.ExactMatch("city")],
+        )
+        for lv in s.comparisons[0].non_null_levels():
+            lv.m_probability, lv.u_probability = 0.9, 0.1
+        linker = Linker({"A": a, "B": b}, s)
+        return linker.inference.predict().to_pandas()
+
+    lo = run("link_only")
+    pairs_lo = set(zip(lo.unique_id_l, lo.unique_id_r))
+    # city x block: a1,a2,b1 → cross-source only: (a1,b1),(a2,b1)
+    assert pairs_lo == {("a1", "b1"), ("a2", "b1"), ("a3", "b2")}
+
+    ld = run("link_and_dedupe")
+    pairs_ld = set(zip(ld.unique_id_l, ld.unique_id_r))
+    assert pairs_ld == {("a1", "a2"), ("a1", "b1"), ("a2", "b1"), ("a3", "b2")}
