@@ -900,3 +900,30 @@ def dedupe_pairs(pairs_ds, uid: str, num_buckets: int | None = None):
     ds = pairs_ds.map_batches(_key, batch_format="pyarrow")
     out = keyed_map(ds, "__pairkey", _first, num_buckets=num_buckets)
     return out.drop_columns(["__pairkey"])
+
+
+def cumulative_comparisons_data(records_ds, settings: Settings, num_buckets=None):
+    """B7: per-rule pair counts AFTER cross-rule exclusion + running total —
+    the data behind the reference's ``cumulative_comparisons_…_chart``
+    (``splink/internals/blocking_analysis.py``). Returns a pandas DataFrame
+    (rule, description, n_pairs, cumulative)."""
+    from ray.data.aggregate import Count
+
+    pairs, _ = generate_pairs(
+        records_ds, settings, num_buckets=num_buckets,
+        analyze_skew=False, collect_metrics=False,
+    )
+    counts = (
+        pairs.groupby(MATCH_KEY_COL).aggregate(Count(alias_name="n_pairs")).to_pandas()
+    )
+    rules = settings.blocking_rules_to_generate_predictions
+    out = []
+    cum = 0
+    for i, rule in enumerate(rules):
+        row = counts[counts[MATCH_KEY_COL] == i]
+        n = int(row["n_pairs"].iloc[0]) if len(row) else 0
+        cum += n
+        out.append(
+            {"rule": i, "description": rule.description, "n_pairs": n, "cumulative": cum}
+        )
+    return pd.DataFrame(out)

@@ -225,3 +225,26 @@ def test_link_only_and_link_and_dedupe(ray_session):
     ld = run("link_and_dedupe")
     pairs_ld = set(zip(ld.unique_id_l, ld.unique_id_r))
     assert pairs_ld == {("a1", "a2"), ("a1", "b1"), ("a2", "b1"), ("a3", "b2")}
+
+
+def test_cumulative_comparisons_data(ray_session, array_records):
+    """B7 cumulative chart data: per-rule post-exclusion counts sum to the
+    distinct pair total."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from splink_ray.stages.blocking import cumulative_comparisons_data
+
+    def first_tag(t):
+        return pc.list_element(t["tags"], 0)
+
+    s = Settings(
+        blocking_rules_to_generate_predictions=[
+            KeyFunctionRule(key_fn=first_tag, name="ft"),
+            BlockingRule(["val"]),
+        ],
+        comparisons=[cl.AbsoluteDifferenceAtThresholds("val", (0.5,))],
+    )
+    df = cumulative_comparisons_data(rd.from_arrow(array_records), s, num_buckets=4)
+    assert list(df.rule) == [0, 1]
+    assert df.cumulative.iloc[-1] == df.n_pairs.sum()
+    assert df.n_pairs.iloc[0] > 0
