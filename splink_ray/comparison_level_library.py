@@ -237,10 +237,12 @@ class LiteralMatchLevel(ComparisonLevel):
 
 @dataclass
 class ColumnsReversedLevel(ComparisonLevel):
-    """a_l = b_r AND b_l = a_r (e.g. swapped forename/surname).
+    """Swapped-column equality (e.g. forename/surname reversed).
 
-    Reference: ``comparison_level_library.ColumnsReversedLevel`` (with
-    ``symmetrical=True`` also requiring the pair to hold both ways).
+    Reference: ``comparison_level_library.ColumnsReversedLevel`` —
+    ``symmetrical=False`` (default) is the one-directional condition
+    ``col1_l = col2_r``; ``symmetrical=True`` additionally requires
+    ``col2_l = col1_r`` (the pair holds both ways).
     """
 
     col_expression_1: ColumnExpression | str = "a"
@@ -254,19 +256,21 @@ class ColumnsReversedLevel(ComparisonLevel):
 
     def _evaluate(self, pairs, ctx):
         a_l = _side(self.col_expression_1, "l").evaluate(pairs)
+        b_r = _side(self.col_expression_2, "r").evaluate(pairs)
+        fwd = _to_np_bool(pc.equal(a_l, b_r))
+        if not self.symmetrical:
+            return fwd
         a_r = _side(self.col_expression_1, "r").evaluate(pairs)
         b_l = _side(self.col_expression_2, "l").evaluate(pairs)
-        b_r = _side(self.col_expression_2, "r").evaluate(pairs)
-        fwd = _to_np_bool(pc.and_(pc.equal(a_l, b_r), pc.equal(b_l, a_r)))
-        if self.symmetrical:
-            return fwd
-        return fwd
+        return fwd & _to_np_bool(pc.equal(b_l, a_r))
 
     def sql(self):
         a_l = _side(self.col_expression_1, "l").sql()
+        b_r = _side(self.col_expression_2, "r").sql()
+        if not self.symmetrical:
+            return f"({a_l} = {b_r})"
         a_r = _side(self.col_expression_1, "r").sql()
         b_l = _side(self.col_expression_2, "l").sql()
-        b_r = _side(self.col_expression_2, "r").sql()
         return f"({a_l} = {b_r} AND {b_l} = {a_r})"
 
     def columns_used(self):

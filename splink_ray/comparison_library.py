@@ -162,7 +162,9 @@ def ForenameSurnameComparison(
     levels = [
         Or(NullLevel(f), NullLevel(s)),
         And(ExactMatchLevel(f), ExactMatchLevel(s), label="Exact match both"),
-        ColumnsReversedLevel(f, s, label="Forename/surname reversed"),
+        # symmetrical: a true swap requires equality both ways (reference
+        # passes symmetrical=True here)
+        ColumnsReversedLevel(f, s, symmetrical=True, label="Forename/surname reversed"),
         ExactMatchLevel(s, label="Surname exact"),
         ExactMatchLevel(f, label="Forename exact"),
     ]

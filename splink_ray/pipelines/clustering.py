@@ -91,7 +91,9 @@ def _checksum(labels_ds) -> int:
     without a self-join."""
 
     def _h(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t["node"], t["rep"], "\x1f")
+        key = pc.binary_join_element_wise(
+            pc.cast(t["node"], pa.string()), pc.cast(t["rep"], pa.string()), "\x1f"
+        )
         h = pd.util.hash_array(np.asarray(key.to_pylist(), dtype=object))
         # wrap the uint64 sum into int64 so it fits an Arrow int64 column;
         # wraparound is fine — we only compare checksums for equality
@@ -235,11 +237,15 @@ def cluster_pairwise_predictions_at_threshold(
 
     edf = None
     if method == "auto":
-        # single scan: fetch the thresholded edges directly (matches are a
-        # small fraction); fall back to the distributed solver only if the
-        # fetch turns out oversized
-        edf = edges.to_pandas()
-        method = "local" if len(edf) <= local_edge_limit else "distributed"
+        # bounded probe: fetch at most limit+1 edges (limit() short-circuits
+        # the scan). Under the limit the probe IS the full edge list — one
+        # scan, same as before; over it, the driver never holds more than
+        # limit+1 rows and the distributed solver takes over.
+        probe = edges.limit(local_edge_limit + 1).to_pandas()
+        if len(probe) <= local_edge_limit:
+            method, edf = "local", probe
+        else:
+            method = "distributed"
 
     info = {"method": method}
     if method == "local":
@@ -255,9 +261,13 @@ def cluster_pairwise_predictions_at_threshold(
                 self.map = ray.get(ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                uids = t[uid].to_pylist()
+                arr = t[uid]
+                uids = arr.to_pylist()
                 reps = [self.map.get(x, x) for x in uids]
-                return t.append_column("cluster_id", pa.array(reps, pa.string()))
+                # native uid type: representatives are min under the native
+                # ordering, matching the distributed solver's Min aggregate
+                # (string-typed ids would make '10' < '9')
+                return t.append_column("cluster_id", pa.array(reps, arr.type))
 
         clustered = records_ds.map_batches(
             _Assign,

@@ -230,6 +230,28 @@ def agreement_patterns(pairs_ds, settings: Settings) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def seed_missing_m_u(comparisons: list[Comparison]) -> None:
+    """Seed default starting m/u for levels that were never estimated.
+
+    The reference seeds untrained parameters before EM (a level with m=None
+    would otherwise poison the E-step with NaN). Seeds are asymmetric —
+    m mass concentrated on the strongest (highest-gamma) levels, u on the
+    weakest — because a symmetric m=u seed is a degenerate EM fixed point."""
+    for comp in comparisons:
+        k = comp.num_levels
+        v = np.arange(k, dtype=np.float64)
+        m_seed = np.exp2(v)
+        m_seed /= m_seed.sum()
+        u_seed = np.exp2(k - 1 - v)
+        u_seed /= u_seed.sum()
+        for lv in comp.non_null_levels():
+            g = lv.comparison_vector_value
+            if lv.m_probability is None:
+                lv.m_probability = float(m_seed[g])
+            if lv.u_probability is None:
+                lv.u_probability = float(u_seed[g])
+
+
 def em_on_patterns(
     patterns: pd.DataFrame,
     comparisons: list[Comparison],
@@ -240,7 +262,16 @@ def em_on_patterns(
     max_iter: int = 25,
 ) -> dict:
     """Driver-side numpy EM. Returns {"lambda", "iterations", "history"};
-    mutates the comparisons' m/u in place (respecting per-level fix flags)."""
+    mutates the comparisons' m/u in place (respecting per-level fix flags).
+    Levels with unset m/u are seeded first (:func:`seed_missing_m_u`)."""
+    seed_missing_m_u(comparisons)
+    for comp in comparisons:
+        m_arr, u_arr = comp.m_u_arrays()
+        if np.isnan(m_arr).any() or np.isnan(u_arr).any():
+            raise ValueError(
+                f"comparison '{comp.output_column_name}' has unset m/u after "
+                "seeding — check fix_m/fix_u flags on levels with no value"
+            )
     cnt = patterns["n"].to_numpy().astype(np.float64)
     G = {c.output_column_name: patterns[c.gamma_column_name].to_numpy() for c in comparisons}
     lam = float(lam_init)

@@ -181,9 +181,13 @@ class Settings:
         return float(np.log2(lam / (1.0 - lam)))
 
     def to_dict(self) -> dict:
+        # every output-affecting field must appear here: config_hash() keys
+        # checkpoint manifests, so an omitted field means a stale-cache reuse
+        # when it changes (ADVICE r01)
         return {
             "link_type": self.link_type,
             "unique_id_column_name": self.unique_id_column_name,
+            "source_dataset_column_name": self.source_dataset_column_name,
             "probability_two_random_records_match": self.probability_two_random_records_match,
             "blocking_rules_to_generate_predictions": [
                 r.to_dict() for r in self.blocking_rules_to_generate_predictions
@@ -194,6 +198,9 @@ class Settings:
             "additional_columns_to_retain": list(self.additional_columns_to_retain),
             "em_convergence": self.em_convergence,
             "max_iterations": self.max_iterations,
+            "hot_key_threshold": self.hot_key_threshold,
+            "target_rows_per_salted_block": self.target_rows_per_salted_block,
+            "max_pairs_per_block": self.max_pairs_per_block,
         }
 
     def config_hash(self) -> str:

@@ -37,7 +37,10 @@ def term_frequency_counts(records_ds, column: str):
 
 
 def term_frequency_table(records_ds, column: str, total: int | None = None):
-    """pandas DataFrame (value, tf_<column>) — splink's per-column tf table."""
+    """pandas DataFrame (value, tf_<column>) — splink's per-column tf table.
+
+    Denominator defaults to the column's NON-NULL count (reference divides by
+    ``count(col)``, which excludes nulls — ``term_frequencies_sql``)."""
     counts = term_frequency_counts(records_ds, column).to_pandas()
     if total is None:
         total = int(counts["n"].sum())
@@ -45,12 +48,62 @@ def term_frequency_table(records_ds, column: str, total: int | None = None):
     return counts.drop(columns=["n"]).sort_values(column).reset_index(drop=True)
 
 
-def compute_tf_maps(records_ds, columns: list[str], total: int | None = None) -> dict[str, dict]:
-    """{column: {value: tf}} for every tf-adjusted column; driver-side small."""
-    if total is None:
-        total = records_ds.count()
-    out = {}
-    for c in columns:
-        df = term_frequency_table(records_ds, c, total)
+def compute_tf_maps(records_ds, columns: list[str]) -> dict[str, dict]:
+    """{column: {value: tf}} for every tf-adjusted column; driver-side small.
+
+    All string-typed columns share ONE dataset execution: per-batch partial
+    counts tagged with the column name → one distributed
+    ``groupby(col, val).sum`` → per-column dicts. Non-string columns (rare
+    for tf adjustment) fall back to a typed per-column pass. Each column's
+    denominator is its own non-null count (ADVICE r01: reference uses
+    ``count(col)``, not the table row count)."""
+    if not columns:
+        return {}
+    schema = records_ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    str_cols = [
+        c
+        for c in columns
+        if c in types and (pa.types.is_string(types[c]) or pa.types.is_large_string(types[c]))
+    ]
+    other = [c for c in columns if c not in str_cols]
+    out: dict[str, dict] = {}
+
+    if str_cols:
+
+        def _partial(t: pa.Table) -> pa.Table:
+            parts = []
+            for c in str_cols:
+                sub = t.select([c]).filter(pc.is_valid(t[c]))
+                if len(sub) == 0:
+                    continue
+                g = sub.group_by(c, use_threads=False).aggregate([([], "count_all")])
+                g = g.rename_columns(["val", "n"])
+                parts.append(g.append_column("col", pa.array([c] * len(g), pa.string())))
+            if not parts:
+                return pa.table(
+                    {"val": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                     "col": pa.array([], pa.string())}
+                )
+            return pa.concat_tables(parts)
+
+        from ray.data.aggregate import Sum
+
+        merged = (
+            records_ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["col", "val"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        for c in str_cols:
+            if "col" not in merged.columns:  # fully-empty dataset lost schema
+                out[c] = {}
+                continue
+            sub = merged[merged["col"] == c]
+            denom = max(float(sub["n"].sum()), 1.0)
+            out[c] = dict(zip(sub["val"], sub["n"] / denom))
+
+    for c in other:
+        df = term_frequency_table(records_ds, c)
         out[c] = dict(zip(df[c], df[f"tf_{c}"]))
     return out

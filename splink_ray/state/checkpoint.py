@@ -101,6 +101,28 @@ class RunCheckpoint:
         return self.save(name, ds, input_key=input_key, metrics=metrics), False
 
 
+def dataset_fingerprint(ds) -> str:
+    """Cheap content key for a Dataset: source files + schema when the input
+    is file-backed (no execution), else row count + schema. Feeds checkpoint
+    ``input_key``s so a rerun with different input data never reuses a stale
+    stage (ADVICE r01)."""
+    import hashlib
+
+    try:
+        files = sorted(ds.input_files() or [])
+    except Exception:
+        files = []
+    try:
+        names = list(ds.schema().names)
+    except Exception:
+        names = []
+    if files:
+        basis = json.dumps({"files": files, "schema": names}, sort_keys=True)
+    else:
+        basis = json.dumps({"rows": ds.count(), "schema": names}, sort_keys=True)
+    return hashlib.sha256(basis.encode()).hexdigest()[:16]
+
+
 def predict_with_checkpoints(
     records_ds,
     settings,
@@ -112,18 +134,21 @@ def predict_with_checkpoints(
     """Checkpointed flagship flow: records → scored pairs [→ clusters].
 
     Each stage is skipped on rerun when its manifest matches the settings'
-    config hash; connected components additionally checkpoints per round
-    under ``{run_dir}/cc/``. Returns (final Dataset, info dict)."""
+    config hash AND its input key — a fingerprint of the input data plus
+    every out-of-Settings parameter that shapes the stage's output
+    (thresholds, bucket count). Connected components additionally checkpoints
+    per round under ``{run_dir}/cc/``. Returns (final Dataset, info dict)."""
     from ..pipelines.predict import predict
     from ..pipelines.clustering import cluster_pairwise_predictions_at_threshold
 
     ck = RunCheckpoint(run_dir, settings.config_hash())
     info: dict = {"skipped": []}
+    input_fp = dataset_fingerprint(records_ds)
 
     def _records():
         return records_ds
 
-    records, skipped = ck.stage("records", _records)
+    records, skipped = ck.stage("records", _records, input_key=input_fp)
     if skipped:
         info["skipped"].append("records")
 
@@ -140,7 +165,10 @@ def predict_with_checkpoints(
         metrics_box.update(metrics)
         return scored
 
-    scored, skipped = ck.stage("scored", _scored, metrics_fn=lambda: metrics_box)
+    scored_key = f"{input_fp}|thr={threshold_match_probability}|buckets={num_buckets}"
+    scored, skipped = ck.stage(
+        "scored", _scored, input_key=scored_key, metrics_fn=lambda: metrics_box
+    )
     if skipped:
         info["skipped"].append("scored")
     info["blocking_metrics"] = (ck.manifest("scored") or {}).get("metrics")
@@ -159,7 +187,9 @@ def predict_with_checkpoints(
         info["clustering"] = cinfo
         return clustered
 
-    clustered, skipped = ck.stage("clustered", _clustered)
+    clustered, skipped = ck.stage(
+        "clustered", _clustered, input_key=f"{scored_key}|ct={cluster_threshold}"
+    )
     if skipped:
         info["skipped"].append("clustered")
     return clustered, info

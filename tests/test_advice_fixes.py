@@ -1,0 +1,262 @@
+"""Regression tests for the round-1 ADVICE findings:
+
+1. ColumnsReversedLevel symmetrical semantics (one-directional default)
+2. TF denominator excludes nulls + single-pass compute_tf_maps
+3. EM seeds unset m/u instead of silently producing NaN
+4. Local clustering keeps the uid column's native type (numeric min rep)
+   and auto mode never materializes more than the edge limit driver-side
+5. Checkpoint stage keys include input fingerprint + thresholds
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import splink_ray.comparison_level_library as cll
+from splink_ray.settings import Comparison, Settings
+
+
+@pytest.fixture(params=[True, False], ids=["duckdb", "numpy"])
+def ctx(request):
+    return cll.EvalContext(use_duckdb=request.param)
+
+
+# ---------------------------------------------------------------------------
+# 1. ColumnsReversedLevel
+# ---------------------------------------------------------------------------
+
+
+def test_columns_reversed_one_directional_default(ctx):
+    lv_default = cll.ColumnsReversedLevel("fn", "sn")
+    lv_sym = cll.ColumnsReversedLevel("fn", "sn", symmetrical=True)
+    # fn_l == sn_r holds, sn_l == fn_r does NOT
+    pairs = pa.table(
+        {
+            "fn_l": ["ann"], "sn_l": ["x"],
+            "fn_r": ["q"], "sn_r": ["ann"],
+        }
+    )
+    assert list(lv_default.evaluate(pairs, ctx)) == [True]
+    assert list(lv_sym.evaluate(pairs, ctx)) == [False]
+    # both ways → both levels true
+    both = pa.table(
+        {"fn_l": ["ann"], "sn_l": ["lee"], "fn_r": ["lee"], "sn_r": ["ann"]}
+    )
+    assert list(lv_default.evaluate(both, ctx)) == [True]
+    assert list(lv_sym.evaluate(both, ctx)) == [True]
+
+
+def test_columns_reversed_sql_matches_evaluate():
+    import duckdb
+
+    lv_default = cll.ColumnsReversedLevel("fn", "sn")
+    lv_sym = cll.ColumnsReversedLevel("fn", "sn", symmetrical=True)
+    df = pd.DataFrame(
+        {
+            "fn_l": ["a", "a", "b"],
+            "sn_l": ["x", "b", "a"],
+            "fn_r": ["y", "b", "z"],
+            "sn_r": ["a", "a", "q"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("p", df)
+    ctx = cll.EvalContext(use_duckdb=False)
+    for lv in (lv_default, lv_sym):
+        got = list(lv.evaluate(pa.Table.from_pandas(df), ctx))
+        sql = con.execute(f"SELECT {lv.sql()} FROM p").fetchall()
+        want = [bool(r[0]) if r[0] is not None else False for r in sql]
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 2. TF maps: non-null denominator, one pass for all string columns
+# ---------------------------------------------------------------------------
+
+
+class _CountingDS:
+    """Delegating proxy that counts map_batches invocations."""
+
+    def __init__(self, ds):
+        self._ds = ds
+        self.map_batches_calls = 0
+
+    def map_batches(self, *a, **k):
+        self.map_batches_calls += 1
+        return self._ds.map_batches(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
+def test_tf_denominator_excludes_nulls(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.tf import compute_tf_maps
+
+    t = pa.table(
+        {
+            "city": ["a", "a", "b", None, None],
+            "state": ["x", None, "y", "y", "y"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    maps = compute_tf_maps(ds, ["city", "state"])
+    # city: 3 non-null → a=2/3, b=1/3 (NOT /5)
+    assert maps["city"]["a"] == pytest.approx(2 / 3)
+    assert maps["city"]["b"] == pytest.approx(1 / 3)
+    # state: 4 non-null → x=1/4, y=3/4
+    assert maps["state"]["x"] == pytest.approx(1 / 4)
+    assert maps["state"]["y"] == pytest.approx(3 / 4)
+
+
+def test_tf_maps_single_pass(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.tf import compute_tf_maps
+
+    t = pa.table(
+        {
+            "a": ["p", "q", "p"],
+            "b": ["r", "r", "s"],
+            "c": ["t", "u", "v"],
+        }
+    )
+    proxy = _CountingDS(rd.from_arrow(t))
+    maps = compute_tf_maps(proxy, ["a", "b", "c"])
+    assert proxy.map_batches_calls == 1  # one execution for N tf columns
+    assert maps["a"]["p"] == pytest.approx(2 / 3)
+    assert maps["c"]["t"] == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# 3. EM seeding
+# ---------------------------------------------------------------------------
+
+
+def test_em_seeds_missing_m_u():
+    from splink_ray.pipelines.training import em_on_patterns
+
+    comp = Comparison(
+        "name",
+        [
+            cll.NullLevel("name"),
+            cll.ExactMatchLevel("name"),  # m/u unset
+            cll.ElseLevel(),
+        ],
+    )
+    # 2-level agreement patterns: mostly disagreeing pairs, some agreeing
+    patterns = pd.DataFrame({"gamma_name": [1, 0, -1], "n": [50, 1000, 10]})
+    out = em_on_patterns(patterns, [comp], lam_init=0.05)
+    assert np.isfinite(out["lambda"]) and 0 < out["lambda"] < 1
+    for lv in comp.non_null_levels():
+        assert lv.m_probability is not None and np.isfinite(lv.m_probability)
+        assert lv.u_probability is not None and np.isfinite(lv.u_probability)
+    # EM learned that gamma=1 is more likely under match than non-match
+    exact = comp.level_for_value(1)
+    assert exact.m_probability > exact.u_probability
+
+
+# ---------------------------------------------------------------------------
+# 4. Clustering: native uid types + bounded auto probe
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_native_int_ids(ray_session):
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+    )
+
+    records = rd.from_arrow(pa.table({"unique_id": pa.array([9, 10, 11, 3], pa.int64())}))
+    preds = rd.from_arrow(
+        pa.table(
+            {
+                "unique_id_l": pa.array([9], pa.int64()),
+                "unique_id_r": pa.array([10], pa.int64()),
+                "match_probability": pa.array([1.0]),
+            }
+        )
+    )
+    clustered, info = cluster_pairwise_predictions_at_threshold(records, preds, 0.5)
+    df = clustered.to_pandas().set_index("unique_id")
+    assert df["cluster_id"].dtype == np.int64  # native type preserved
+    # numeric min: min(9, 10) = 9 (string ordering would give '10')
+    assert df.loc[9, "cluster_id"] == 9
+    assert df.loc[10, "cluster_id"] == 9
+    assert df.loc[11, "cluster_id"] == 11
+
+
+def test_cluster_auto_switches_to_distributed_over_limit(ray_session):
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+    )
+
+    records = rd.from_arrow(pa.table({"unique_id": pa.array(list(range(10)), pa.int64())}))
+    edges = pa.table(
+        {
+            "unique_id_l": pa.array([0, 1, 2, 3], pa.int64()),
+            "unique_id_r": pa.array([1, 2, 3, 4], pa.int64()),
+            "match_probability": pa.array([1.0] * 4),
+        }
+    )
+    preds = rd.from_arrow(edges)
+    clustered, info = cluster_pairwise_predictions_at_threshold(
+        records, preds, 0.5, local_edge_limit=2
+    )
+    assert info["method"] == "distributed"  # probe saw > limit edges
+    df = clustered.to_pandas().set_index("unique_id")
+    for node in range(5):
+        assert df.loc[node, "cluster_id"] == 0
+    assert df.loc[7, "cluster_id"] == 7
+
+
+# ---------------------------------------------------------------------------
+# 5. Checkpoint keys
+# ---------------------------------------------------------------------------
+
+
+def test_config_hash_covers_scale_knobs():
+    s1 = Settings()
+    s2 = Settings(max_pairs_per_block=1000)
+    s3 = Settings(source_dataset_column_name="src")
+    assert s1.config_hash() != s2.config_hash()
+    assert s1.config_hash() != s3.config_hash()
+
+
+def test_checkpoint_invalidates_on_input_and_threshold(ray_session, tmp_path):
+    import ray.data as rd
+
+    from splink_ray.datasets import generate_transcripts
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.stages.canonicalize import canonicalize_bucket
+    from splink_ray.state.checkpoint import predict_with_checkpoints
+
+    def recs(seed):
+        tables = generate_transcripts(n_entities=30, seed=seed)
+        return rd.from_arrow(canonicalize_bucket(tables["transcripts"])).materialize()
+
+    s = transcript_settings()
+    run_dir = str(tmp_path / "run")
+    a = recs(1)
+    out1, info1 = predict_with_checkpoints(a, s, run_dir, threshold_match_probability=0.5)
+    n1 = out1.count()
+    assert info1["skipped"] == []
+
+    # same input, same threshold → all skipped
+    _, info2 = predict_with_checkpoints(a, s, run_dir, threshold_match_probability=0.5)
+    assert set(info2["skipped"]) == {"records", "scored"}
+
+    # different threshold → scored recomputed (was silently reused before)
+    out3, info3 = predict_with_checkpoints(a, s, run_dir, threshold_match_probability=0.99)
+    assert "scored" not in info3["skipped"]
+
+    # different input data → records + scored recomputed
+    b = recs(2)
+    _, info4 = predict_with_checkpoints(b, s, run_dir, threshold_match_probability=0.99)
+    assert "records" not in info4["skipped"]
+    assert "scored" not in info4["skipped"]
