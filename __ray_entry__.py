@@ -337,7 +337,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from splink_ray.stages.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(
-        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5, brute=True,  # SQL-oracle baseline; default is LSH-verified
     ).to_pandas()
     return _round(out, {"jaccard": 6})
 
@@ -367,7 +368,8 @@ def q_embedding_cosine_pairs(sf_dir: str):
     from splink_ray.stages.dedup import embedding_cosine_pairs
 
     out = embedding_cosine_pairs(
-        _ds(sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+        _ds(sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35,
+        brute=True,  # SQL-oracle baseline; default is SRP-LSH-bucketed
     ).to_pandas()
     return out[["id_l", "id_r"]]
 

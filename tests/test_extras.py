@@ -126,7 +126,8 @@ def test_ngram_jaccard_vs_sql(ray_session, doc_corpus):
     import ray.data as rd
 
     out = dedup.ngram_jaccard_pairs(
-        rd.from_arrow(doc_corpus), "text", "doc_id", threshold=0.5, num_buckets=2
+        rd.from_arrow(doc_corpus), "text", "doc_id", threshold=0.5, num_buckets=2,
+        brute=True,
     ).to_pandas()
     got = set(zip(out.id_l, out.id_r))
     con = duckdb.connect()
@@ -162,7 +163,9 @@ def test_embedding_cosine_pairs_and_lsh(ray_session, embeddings):
     embeddings = pa.Table.from_pandas(corpus, preserve_index=False)
 
     ds = rd.from_arrow(embeddings)
-    brute = dedup.embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95).to_pandas()
+    brute = dedup.embedding_cosine_pairs(
+        ds, "embedding", "vec_id", threshold=0.95, brute=True
+    ).to_pandas()
     got = set(zip(brute.id_l, brute.id_r)) if len(brute) else set()
     # numpy oracle
     df = embeddings.to_pandas()
