@@ -39,6 +39,17 @@ def _to_dataset(data: Any):
     return data  # already a Dataset
 
 
+def _to_arrow_table(data: Any) -> pa.Table:
+    """Small-side inputs (new records, labels) → driver-side Arrow table."""
+    if isinstance(data, pa.Table):
+        return data
+    if isinstance(data, pd.DataFrame):
+        return pa.Table.from_pandas(data, preserve_index=False)
+    import ray
+
+    return pa.concat_tables(ray.get(data.to_arrow_refs()))
+
+
 class _Inference:
     def __init__(self, linker: "Linker"):
         self._l = linker
@@ -89,27 +100,18 @@ class _Inference:
         """R1: block+score a small batch of new records against the corpus.
 
         Reference: ``find_matches_to_new_records.py``. The new records are
-        broadcast into the pair stage by unioning them in and keeping only
-        pairs touching a new record."""
-        from .pipelines.predict import predict
+        broadcast (``ray.put``) into a stateful matcher pool; one streaming
+        pass over the corpus emits and scores only new×base pairs whose
+        blocking keys match — never the corpus self-join
+        (``pipelines.predict.find_matches_to_new_records``)."""
+        from .pipelines.predict import find_matches_to_new_records
 
-        s = self._l.settings
-        uid = s.unique_id_column_name
-        new_ds = _to_dataset(new_records)
-        marked = new_ds.map_batches(
-            lambda t: t.append_column("__new", pa.array([True] * len(t))),
-            batch_format="pyarrow",
+        return find_matches_to_new_records(
+            self._l._records(),
+            _to_arrow_table(new_records),
+            self._l.settings,
+            threshold_match_probability=threshold_match_probability,
         )
-        base = self._l._records().map_batches(
-            lambda t: t.append_column("__new", pa.array([False] * len(t))),
-            batch_format="pyarrow",
-        )
-        s2 = __import__("copy").deepcopy(s)
-        s2.additional_columns_to_retain = list(s.additional_columns_to_retain) + ["__new"]
-        scored, _ = predict(
-            base.union(marked), s2, threshold_match_probability=threshold_match_probability
-        )
-        return scored.filter(expr="__new_l == True or __new_r == True")
 
 
 class _Training:

@@ -25,11 +25,13 @@ from ..settings import Settings
 def predictions_with_labels(predictions_ds, labels_ds, uid: str = "unique_id"):
     """Inner-join scored pairs ↔ labeled pairs on (uid_l, uid_r); labeled
     pairs missing from predictions get match_weight −inf (never blocked)."""
+    from ..stages.exchange import default_parallelism
+
     lab = labels_ds
     out = lab.join(
         predictions_ds,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=max(2, default_parallelism() // 2),
         on=("unique_id_l", "unique_id_r"),
         right_on=(f"{uid}_l", f"{uid}_r"),
     )

@@ -17,6 +17,7 @@ blocking rules + tf each branch from it):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..settings import Settings
@@ -105,6 +106,149 @@ def predict(
         threshold_match_weight=threshold_match_weight,
     )
     return scored, metrics
+
+
+def find_matches_to_new_records(
+    records_ds,
+    new_tbl: pa.Table,
+    settings: Settings,
+    threshold_match_probability: float | None = None,
+):
+    """R1: block + score a SMALL batch of new records against the corpus.
+
+    Reference: ``splink/internals/find_matches_to_new_records.py``. The new
+    records (with their per-rule blocking keys precomputed driver-side) are
+    broadcast via ``ray.put`` into a stateful matcher pool; each corpus batch
+    derives its own keys and emits only new×base pairs for matching keys —
+    gamma + FS scoring fused in the same task. ONE streaming pass over the
+    corpus, no exchange, no corpus self-join (round-1 verdict finding #4:
+    the old path scored the full self-join and discarded ~all of it).
+
+    Pair orientation: ``_l`` = new record, ``_r`` = corpus record;
+    ``match_key`` = index of the first blocking rule that matched
+    (cross-rule exclusion identical to ``generate_pairs``)."""
+    from ..stages.blocking import bk_col
+    from ..stages.exchange import default_parallelism
+    from ..stages.scoring import score_pair_batch
+    from ..stages.tf import compute_tf_maps
+
+    rules = settings.blocking_rules_to_generate_predictions
+    if not rules:
+        raise ValueError("no blocking rules configured")
+    if any(r.is_exploding for r in rules):
+        raise ValueError("find_matches_to_new_records does not support exploding rules")
+    from ..validation import validate_settings_against_dataset, validate_settings_columns
+
+    validate_settings_against_dataset(settings, records_ds)
+    validate_settings_columns(settings, new_tbl.column_names)
+    uid = settings.unique_id_column_name
+    out_cols = sorted(settings.columns_needed() - {uid})
+
+    new_keyed = new_tbl
+    for i, rule in enumerate(rules):
+        new_keyed = new_keyed.append_column(bk_col(i), rule.key_values(new_tbl))
+    new_ref = broadcast(new_keyed)
+
+    tf_cols = settings.tf_columns()
+    tf_refs = None
+    if tf_cols:
+        maps = compute_tf_maps(records_ds, tf_cols)
+        tf_refs = {c: broadcast(m) for c, m in maps.items()}
+
+    class _NewRecordMatcher:
+        def __init__(self, new_ref, settings, tf_refs):
+            import ray
+
+            from ..settings import make_eval_context
+
+            self.new: pa.Table = ray.get(new_ref)
+            self.settings = settings
+            self.ctx = make_eval_context(settings)
+            self.tf_maps = {c: ray.get(r) for c, r in (tf_refs or {}).items()}
+            self.rules = settings.blocking_rules_to_generate_predictions
+            # per-rule inverted index: key value → new-record row indices
+            self.key_index: list[dict] = []
+            self.new_keys: list[list] = []
+            for i in range(len(self.rules)):
+                keys = self.new[bk_col(i)].to_pylist()
+                self.new_keys.append(keys)
+                idx: dict = {}
+                for row, k in enumerate(keys):
+                    if k is not None:
+                        idx.setdefault(k, []).append(row)
+                self.key_index.append(idx)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = self.settings
+            uid = s.unique_id_column_name
+            base_keys = [rule.key_values(t) for rule in self.rules]
+            base_lists = [bk.to_pylist() for bk in base_keys]
+            parts = []
+            for i in range(len(self.rules)):
+                idx = self.key_index[i]
+                if not idx:
+                    continue
+                ni, bi = [], []
+                for row, k in enumerate(base_lists[i]):
+                    if k is None:
+                        continue
+                    hits = idx.get(k)
+                    if hits:
+                        for h in hits:
+                            ni.append(h)
+                            bi.append(row)
+                if not ni:
+                    continue
+                ni = np.asarray(ni, np.int64)
+                bi = np.asarray(bi, np.int64)
+                # cross-rule exclusion: drop pairs an earlier rule already emitted
+                keep = np.ones(len(ni), bool)
+                for j in range(i):
+                    nk = self.new_keys[j]
+                    bk = base_lists[j]
+                    for p in range(len(ni)):
+                        if keep[p]:
+                            a, b = nk[ni[p]], bk[bi[p]]
+                            if a is not None and a == b:
+                                keep[p] = False
+                ni, bi = ni[keep], bi[keep]
+                if not len(ni):
+                    continue
+                lt = self.new.select([uid] + out_cols).take(pa.array(ni))
+                rt = t.select([uid] + out_cols).take(pa.array(bi))
+                data = {f"{uid}_l": lt[uid], f"{uid}_r": rt[uid]}
+                for c in out_cols:
+                    data[f"{c}_l"] = lt[c]
+                    data[f"{c}_r"] = rt[c]
+                data["match_key"] = pa.array(np.full(len(ni), i, np.int32), pa.int32())
+                parts.append(pa.table(data))
+            if not parts:
+                # emit an empty, correctly-typed pair table (Ray drops the
+                # schema of columnless empties)
+                lt = self.new.select([uid] + out_cols).slice(0, 0)
+                data = {f"{uid}_l": lt[uid], f"{uid}_r": lt[uid]}
+                for c in out_cols:
+                    data[f"{c}_l"] = lt[c]
+                    data[f"{c}_r"] = lt[c]
+                data["match_key"] = pa.array([], pa.int32())
+                wide = pa.table(data)
+            else:
+                wide = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            return score_pair_batch(wide, s, self.ctx, self.tf_maps, None)
+
+    p = default_parallelism()
+    scored = records_ds.map_batches(
+        _NewRecordMatcher,
+        batch_format="pyarrow",
+        concurrency=(max(1, p // 2), max(2, p)),
+        num_cpus=1,
+        fn_constructor_kwargs={
+            "new_ref": new_ref, "settings": settings, "tf_refs": tf_refs,
+        },
+    )
+    if threshold_match_probability is not None:
+        scored = scored.filter(expr=f"match_probability >= {threshold_match_probability}")
+    return scored
 
 
 def deterministic_link(records_ds, settings: Settings, num_buckets: int | None = None):

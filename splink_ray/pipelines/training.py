@@ -140,9 +140,11 @@ def estimate_m_from_pairwise_labels(records_ds, labels_ds, settings: Settings) -
 
 def pairs_from_labels(records_ds, labels_ds, settings: Settings):
     """Labels → pair table with column doubling (A1/A2 machinery)."""
+    from ..stages.exchange import default_parallelism
+
     uid = settings.unique_id_column_name
     cols = sorted(settings.columns_needed() - {uid})
-    n_parts = 8
+    n_parts = max(2, default_parallelism() // 2)
 
     if hasattr(labels_ds, "to_arrow_refs"):
         lab = labels_ds
@@ -196,12 +198,17 @@ def agreement_patterns(pairs_ds, settings: Settings) -> pd.DataFrame:
     input aggregation. Result ≤ Π(levels+1) rows — driver-side safe."""
     gamma_cols = [c.gamma_column_name for c in settings.comparisons]
 
+    from ..stages.exchange import default_parallelism
+
+    p = default_parallelism()
     gammas = pairs_ds.map_batches(
         GammaScorer,
         batch_format="pyarrow",
         batch_size=16384,
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        # start the pool near cluster size: autoscaling from 1 ramps too
+        # slowly for short stages (see scoring.score_pairs)
+        concurrency=(max(1, p // 2), max(2, p)),
         num_cpus=1,
         fn_constructor_kwargs={
             "settings": settings,

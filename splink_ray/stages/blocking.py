@@ -710,6 +710,9 @@ def generate_pairs(
         raise ValueError("no blocking rules configured")
     if score_inline and any(r.is_exploding for r in rules):
         raise ValueError("score_inline does not support exploding rules")
+    from ..validation import validate_settings_against_dataset
+
+    validate_settings_against_dataset(settings, records_ds)
     uid = settings.unique_id_column_name
     out_cols = sorted(settings.columns_needed() - {uid})
     # link jobs need the source column in the pair table for the

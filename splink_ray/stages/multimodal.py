@@ -160,7 +160,16 @@ def frame_sample(ds, every_n: int = 10, frame_bytes: int = 256, concurrency=(1, 
     )
 
 
-def decode_images(ds, strict: bool = False, batch_size: int = 64, concurrency=(1, 8)):
+def _pool():
+    from .exchange import default_parallelism
+
+    p = default_parallelism()
+    return (max(1, p // 2), max(2, p))
+
+
+def decode_images(ds, strict: bool = False, batch_size: int = 64, concurrency=None):
+    if concurrency is None:
+        concurrency = _pool()
     return ds.map_batches(
         ImageDecoder,
         batch_format="pyarrow",
@@ -171,7 +180,9 @@ def decode_images(ds, strict: bool = False, batch_size: int = 64, concurrency=(1
     )
 
 
-def extract_image_features(ds, batch_size: int = 64, concurrency=(1, 8)):
+def extract_image_features(ds, batch_size: int = 64, concurrency=None):
+    if concurrency is None:
+        concurrency = _pool()
     return ds.map_batches(
         ImageFeatureExtractor,
         batch_format="pyarrow",
@@ -186,7 +197,7 @@ def resize_images(ds, width: int, height: int, strict: bool = False, batch_size:
         ImageResizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=_pool(),
         num_cpus=1,
         fn_constructor_kwargs={"width": width, "height": height, "strict": strict},
     )

@@ -260,3 +260,40 @@ def test_checkpoint_invalidates_on_input_and_threshold(ray_session, tmp_path):
     _, info4 = predict_with_checkpoints(b, s, run_dir, threshold_match_probability=0.99)
     assert "records" not in info4["skipped"]
     assert "scored" not in info4["skipped"]
+
+
+# ---------------------------------------------------------------------------
+# Settings validation (SURVEY §1.1; round-1 verdict "what's missing" #1)
+# ---------------------------------------------------------------------------
+
+
+def test_typod_column_raises_before_execution(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.blocking_rule_library import block_on
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.validation import SettingsColumnError
+
+    records = rd.from_arrow(
+        pa.table({"unique_id": ["a", "b"], "city": ["x", "x"], "name": ["n", "n"]})
+    )
+    s = Settings(
+        blocking_rules_to_generate_predictions=[block_on("city")],
+        comparisons=[
+            Comparison(
+                "name",
+                [
+                    cll.NullLevel("nmae"),  # typo
+                    cll.ExactMatchLevel("nmae", m_probability=0.9, u_probability=0.01),
+                    cll.ElseLevel(m_probability=0.1, u_probability=0.99),
+                ],
+            )
+        ],
+    )
+    with pytest.raises(SettingsColumnError, match="nmae"):
+        predict(records, s, materialize_records=False)
+
+    s2 = Settings(blocking_rules_to_generate_predictions=[block_on("ctiy")])
+    with pytest.raises(SettingsColumnError, match="ctiy"):
+        predict(records, s2, materialize_records=False)

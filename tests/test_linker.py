@@ -111,3 +111,88 @@ def test_model_json_roundtrip(linker, tmp_path):
     d = json.load(open(p))
     assert d["link_type"] == "dedupe_only"
     assert len(d["comparisons"]) == 5
+
+
+def test_find_matches_pair_count_scales_with_new_blocks(ray_session):
+    """The rewritten R1 generates pairs proportional to the NEW records'
+    blocks, not the corpus self-join (round-1 verdict finding #4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import splink_ray.comparison_level_library as cll
+    from splink_ray.blocking_rule_library import block_on
+    from splink_ray.pipelines.predict import find_matches_to_new_records
+    from splink_ray.settings import Comparison, Settings
+
+    n = 500
+    # 50 blocks of 10; the corpus self-join would be 50*45=2250 pairs
+    corpus = pa.table(
+        {
+            "unique_id": [f"u{i:04d}" for i in range(n)],
+            "city": [f"c{i % 50}" for i in range(n)],
+            "name": [f"name{i}" for i in range(n)],
+        }
+    )
+    s = Settings(
+        blocking_rules_to_generate_predictions=[block_on("city")],
+        comparisons=[
+            Comparison(
+                "name",
+                [
+                    cll.NullLevel("name"),
+                    cll.ExactMatchLevel("name", m_probability=0.9, u_probability=0.01),
+                    cll.ElseLevel(m_probability=0.1, u_probability=0.99),
+                ],
+            )
+        ],
+    )
+    new = pa.table(
+        {"unique_id": ["new1"], "city": ["c7"], "name": ["name7"]}
+    )
+    out = find_matches_to_new_records(rd.from_arrow(corpus), new, s).to_pandas()
+    # exactly the 10 corpus rows of block c7 — not the self-join
+    assert len(out) == 10
+    assert set(out["unique_id_l"]) == {"new1"}
+    assert set(out["city_r"]) == {"c7"}
+    # the exact-name row scores highest
+    top = out.sort_values("match_probability", ascending=False).iloc[0]
+    assert top["unique_id_r"] == "u0007"
+
+
+def test_find_matches_cross_rule_exclusion(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    import splink_ray.comparison_level_library as cll
+    from splink_ray.blocking_rule_library import block_on
+    from splink_ray.pipelines.predict import find_matches_to_new_records
+    from splink_ray.settings import Comparison, Settings
+
+    corpus = pa.table(
+        {
+            "unique_id": ["a", "b", "c"],
+            "city": ["x", "x", "y"],
+            "pc": ["1", "2", "1"],
+            "name": ["n1", "n2", "n3"],
+        }
+    )
+    s = Settings(
+        blocking_rules_to_generate_predictions=[block_on("city"), block_on("pc")],
+        comparisons=[
+            Comparison(
+                "name",
+                [
+                    cll.NullLevel("name"),
+                    cll.ExactMatchLevel("name", m_probability=0.9, u_probability=0.01),
+                    cll.ElseLevel(m_probability=0.1, u_probability=0.99),
+                ],
+            )
+        ],
+    )
+    new = pa.table({"unique_id": ["z"], "city": ["x"], "pc": ["1"], "name": ["n1"]})
+    out = find_matches_to_new_records(rd.from_arrow(corpus), new, s).to_pandas()
+    # a: city rule (match_key 0); b: city rule; c: pc rule only
+    # a also matches pc but must appear ONCE with match_key 0
+    assert len(out) == 3
+    mk = dict(zip(out["unique_id_r"], out["match_key"]))
+    assert mk == {"a": 0, "b": 0, "c": 1}
