@@ -544,6 +544,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# SQL reproduction of datasets.transcripts_from_documents +
+# stages.canonicalize (turn split, copy-1 edit, md5 concat hash, role_seq,
+# ts arithmetic) — the independent oracle for the transcript-derived queries.
+_CANON_CTE = """
+words AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ['empty']
+         ELSE str_split(text, ' ') END AS w
+  FROM documents
+), turns AS (
+  SELECT doc_id, c, t,
+    CASE WHEN c > 0 AND t = 1 AND len(slice) > 2
+         THEN array_to_string(list_slice(slice, 1, len(slice) - 1), ' ')
+         ELSE array_to_string(slice, ' ') END AS turn_text
+  FROM (
+    SELECT w.doc_id, cc.c, gs.t,
+           list_slice(w.w, gs.t * 8 + 1, gs.t * 8 + 8) AS slice
+    FROM words w
+    CROSS JOIN (SELECT unnest([0, 1]) AS c) cc
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(0,
+        CAST(ceil(least(len(w.w), 48) / 8.0) AS INT) - 1)) AS t) gs
+  )
+), recs AS (
+  SELECT 'd' || lpad(doc_id::VARCHAR, 7, '0') || '-' || c AS unique_id,
+    count(*)::INT AS n_turns,
+    md5(string_agg(turn_text, chr(31) ORDER BY t)) AS text_concat_hash,
+    string_agg(CASE WHEN t % 2 = 0 THEN 'u' ELSE 'a' END, '' ORDER BY t) AS role_seq,
+    min(CASE WHEN t = 0 THEN turn_text END) AS first_user_text,
+    CAST([] AS VARCHAR[]) AS tool_set,
+    TIMESTAMP '2025-01-01 12:00:00'
+      + to_days(CAST(doc_id % 365 AS INT))
+      + to_minutes(CAST(c * 7 AS INT)) AS ts_min,
+    strftime(DATE '2025-01-01' + to_days(CAST(doc_id % 365 AS INT)), '%Y-%m-%d') AS ts_day
+  FROM turns GROUP BY doc_id, c
+)"""
+
+
+def _langid_sql() -> str:
+    """Language-ID oracle: per-language stopword regex counts + first-wins
+    argmax, mirroring functions.text.detect_language."""
+    from splink_ray.functions.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(_STOPWORDS[lang])
+        + ")\\b')) AS c_" + lang
+        for lang in langs
+    )
+    # np.argmax takes the FIRST max → each lang wins ties over later ones
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} >= c_{other}" for other in langs[i + 1 :]]
+        cases.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case = " ".join(cases)
+    return (
+        "SELECT doc_id, CASE WHEN greatest("
+        + ", ".join(f"c_{lang}" for lang in langs)
+        + f") = 0 THEN 'und' {case} END AS lang_detected "
+        f"FROM (SELECT doc_id, {counts} FROM documents)"
+    )
+
+
+def _flagship_predict_sql() -> str:
+    """Full flagship oracle: canonicalize CTE → blocking self-join with
+    cross-rule exclusion → library-rendered gamma CASEs → FS weight."""
+    from splink_ray.model import match_weight_sql
+    from splink_ray.pipelines.flagship import transcript_settings
+
+    s = transcript_settings()
+    gammas = ", ".join(
+        f"{c.gamma_case_sql()} AS {c.gamma_column_name}" for c in s.comparisons
+    )
+    weight = match_weight_sql(s)
+    side_cols = ["unique_id", "text_concat_hash", "first_user_text", "tool_set",
+                 "n_turns", "ts_min"]
+    sel = ", ".join(f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in side_cols)
+    pair_sql = (
+        f"SELECT {sel} FROM recs l JOIN recs r ON l.ts_day = r.ts_day "
+        "AND l.unique_id < r.unique_id "
+        "UNION ALL "
+        f"SELECT {sel} FROM recs l JOIN recs r "
+        "ON substr(l.first_user_text, 1, 12) = substr(r.first_user_text, 1, 12) "
+        "AND l.unique_id < r.unique_id AND NOT (l.ts_day = r.ts_day)"
+    )
+    return (
+        f"WITH {_CANON_CTE} "
+        "SELECT unique_id_l, unique_id_r, "
+        "round(pow(2, w) / (1 + pow(2, w)), 6) AS match_probability FROM ("
+        f"SELECT unique_id_l, unique_id_r, {weight} AS w FROM ("
+        f"SELECT *, {gammas} FROM ({pair_sql}))) "
+        "WHERE pow(2, w) / (1 + pow(2, w)) >= 0.9"
+    )
+
+
+def _flagship_clusters_sql() -> str:
+    """Connected components over the ≥0.9 flagship edges via a recursive-CTE
+    transitive closure; cluster_id = min unique_id of the component (same
+    representative rule as the CC solvers). Small-scale oracle only."""
+    from splink_ray.model import match_weight_sql
+    from splink_ray.pipelines.flagship import transcript_settings
+
+    s = transcript_settings()
+    gammas = ", ".join(
+        f"{c.gamma_case_sql()} AS {c.gamma_column_name}" for c in s.comparisons
+    )
+    weight = match_weight_sql(s)
+    side_cols = ["unique_id", "text_concat_hash", "first_user_text", "tool_set",
+                 "n_turns", "ts_min"]
+    sel = ", ".join(f"l.{c} AS {c}_l, r.{c} AS {c}_r" for c in side_cols)
+    pair_sql = (
+        f"SELECT {sel} FROM recs l JOIN recs r ON l.ts_day = r.ts_day "
+        "AND l.unique_id < r.unique_id "
+        "UNION ALL "
+        f"SELECT {sel} FROM recs l JOIN recs r "
+        "ON substr(l.first_user_text, 1, 12) = substr(r.first_user_text, 1, 12) "
+        "AND l.unique_id < r.unique_id AND NOT (l.ts_day = r.ts_day)"
+    )
+    return (
+        f"WITH RECURSIVE {_CANON_CTE}, "
+        "scored AS ("
+        f"SELECT unique_id_l, unique_id_r, {weight} AS w FROM ("
+        f"SELECT *, {gammas} FROM ({pair_sql}))), "
+        "edges AS ("
+        "SELECT unique_id_l AS a, unique_id_r AS b FROM scored "
+        "WHERE pow(2, w) / (1 + pow(2, w)) >= 0.9 "
+        "UNION ALL SELECT unique_id_r, unique_id_l FROM scored "
+        "WHERE pow(2, w) / (1 + pow(2, w)) >= 0.9), "
+        "reach(node, rep) AS ("
+        "SELECT unique_id, unique_id FROM recs "
+        "UNION "
+        "SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node) "
+        "SELECT node AS unique_id, min(rep) AS cluster_id FROM reach GROUP BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     s = _customer_settings()
     gamma_name = s.comparisons[0].gamma_case_sql()
@@ -560,9 +699,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "tf_mktsegment": (
+            # denominator = count(col): non-null count, matching the
+            # reference's term_frequencies_sql
             "SELECT c_mktsegment, round(count(*)::DOUBLE / "
-            "(SELECT count(*) FROM customer), 6) AS tf "
-            "FROM customer GROUP BY c_mktsegment"
+            "(SELECT count(c_mktsegment) FROM customer), 6) AS tf "
+            "FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment"
         ),
         "vertical_concat": (
             "SELECT 'customer' AS source_dataset, count(*) AS n FROM customer "
@@ -673,4 +814,11 @@ def oracle_sql() -> dict[str, str]:
             "round(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio "
             "FROM documents"
         ),
+        "langid_docs": _langid_sql(),
+        "canonicalize_transcripts": (
+            f"WITH {_CANON_CTE} "
+            "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "flagship_predict": _flagship_predict_sql(),
+        "flagship_clusters": _flagship_clusters_sql(),
     }

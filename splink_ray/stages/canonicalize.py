@@ -100,15 +100,15 @@ def canonicalize_bucket(tbl: pa.Table) -> pa.Table:
     turn_texts = pa.ListArray.from_arrays(offsets, text_arr)
 
     # concat hash + role_seq: per-group python (hashing is inherently
-    # per-value); operate on pre-fetched lists to avoid per-row Arrow calls
+    # per-value); operate on pre-fetched lists to avoid per-row Arrow calls.
+    # md5 (not blake2b) so the hash is reproducible in a DuckDB oracle:
+    # md5(string_agg(text, chr(31) ORDER BY turn_idx))
     texts = text_arr.to_pylist()
     roles = role_arr.to_pylist()
     thash = np.empty(n_groups, dtype=object)
     rseq = np.empty(n_groups, dtype=object)
     for g, (s, e) in enumerate(zip(starts, ends)):
-        thash[g] = hashlib.blake2b(
-            _SEP.join(texts[s:e]).encode(), digest_size=12
-        ).hexdigest()
+        thash[g] = hashlib.md5(_SEP.join(texts[s:e]).encode()).hexdigest()
         rseq[g] = "".join((r or "?")[0] for r in roles[s:e])
 
     # tool_set: only visit groups that contain any tool

@@ -9,9 +9,12 @@ SQL get the rows-only check. Prints one line per query + a summary.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
