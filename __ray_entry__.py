@@ -196,9 +196,13 @@ def q_gamma_customer(sf_dir: str):
         _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
     )
     scored = score_pairs(pairs, s, concurrency=(1, 4))
-    return scored.select_columns(
+    df = scored.select_columns(
         ["c_custkey_l", "c_custkey_r", "gamma_c_name", "gamma_c_acctbal"]
-    )
+    ).to_pandas()
+    # engine-internal gammas are int8; the oracle CASE yields int32
+    df["gamma_c_name"] = df["gamma_c_name"].astype("int32")
+    df["gamma_c_acctbal"] = df["gamma_c_acctbal"].astype("int32")
+    return df
 
 
 def q_predict_scores(sf_dir: str):
@@ -241,7 +245,10 @@ def q_em_agreement_patterns(sf_dir: str):
     pairs, _ = generate_pairs(
         _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
     )
-    return agreement_patterns(pairs, s)
+    df = agreement_patterns(pairs, s)
+    for c in ("gamma_c_name", "gamma_c_acctbal"):
+        df[c] = df[c].astype("int32")  # engine int8 → oracle CASE int32
+    return df
 
 
 def q_deterministic_link_count(sf_dir: str):

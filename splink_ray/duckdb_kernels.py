@@ -28,13 +28,64 @@ class DuckKernel:
 
         self.con = duckdb.connect(":memory:")
         self.con.execute("PRAGMA threads=1")
+        # retain arenas between per-chunk queries: the default 128 MB flush
+        # threshold returns pages to the OS after every chunk, and this
+        # environment's first-touch faults (~150 MB/s, no THP) then dominate
+        # the kernel wall time. Bounded at 512 MB — full retention across 32
+        # workers caused memory pressure at the dense bench scale.
+        try:
+            self.con.execute("SET allocator_flush_threshold='512mb'")
+        except Exception:
+            pass
 
     def eval_expr(self, expr_sql: str, l: pa.Array, r: pa.Array) -> np.ndarray:
         """Evaluate ``expr_sql`` (over columns named l, r) per row.
 
         Returns a numpy array; null inputs yield the function's SQL-null
         result which we surface as numpy nan / 0 per caller masking.
-        """
+
+        Duplicate (l, r) value pairs are evaluated ONCE and scattered back:
+        near-duplicate-heavy blocks repeat the same string pair across many
+        record pairs (every copy-combination of the same two entities), so
+        this cuts the C++ kernel work by the mean copy-product while staying
+        byte-exact."""
+        n = len(l)
+        dedupable = (
+            pa.types.is_string(l.type) or pa.types.is_large_string(l.type)
+        ) and (pa.types.is_string(r.type) or pa.types.is_large_string(r.type))
+        if n >= 2048 and dedupable:
+            # per-chunk dictionaries aren't comparable — flatten first
+            if isinstance(l, pa.ChunkedArray):
+                l = l.combine_chunks()
+            if isinstance(r, pa.ChunkedArray):
+                r = r.combine_chunks()
+            lc = pa.compute.dictionary_encode(l)
+            rc = pa.compute.dictionary_encode(r)
+            # bail before the (expensive) combined factorize when duplicate
+            # pairs are impossible-to-rare: distinct combos are bounded by
+            # |dict_l|·|dict_r| (salted stranger blocks land here)
+            if len(lc.dictionary) * len(rc.dictionary) >= 0.8 * n:
+                return self._eval_raw(expr_sql, l, r)
+            li = lc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            ri = rc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            width = np.int64(len(rc.dictionary) + 2)
+            comb = (li + 1) * width + (ri + 1)
+            # hash-based factorize (no sort) + reverse-scatter for first
+            # occurrence — ~5× cheaper than np.unique here
+            import pandas as pd
+
+            inverse, uniques = pd.factorize(comb, sort=False)
+            k = len(uniques)
+            if k <= 0.8 * n:
+                first_idx = np.empty(k, np.int64)
+                first_idx[inverse[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+                res = self._eval_raw(
+                    expr_sql, l.take(pa.array(first_idx)), r.take(pa.array(first_idx))
+                )
+                return res.take(pa.array(inverse))
+        return self._eval_raw(expr_sql, l, r)
+
+    def _eval_raw(self, expr_sql: str, l: pa.Array, r: pa.Array):
         tbl = pa.table({"l": l, "r": r})
         self.con.register("_pairs", tbl)
         out = self.con.execute(

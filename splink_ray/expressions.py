@@ -72,7 +72,10 @@ class ColumnExpression:
     def evaluate(self, table: pa.Table) -> pa.Array:
         arr: pa.ChunkedArray | pa.Array = table[self.column]
         if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+            # single-chunk columns (the common case for take-built pair
+            # chunks) are unwrapped zero-copy; combine_chunks would COPY the
+            # strings and dominated the scoring profile
+            arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
         for name, args in self.ops:
             if name == "lower":
                 arr = pc.utf8_lower(arr)

@@ -110,16 +110,26 @@ def detect_language(texts) -> np.ndarray:
 def fingerprint(texts, window: int = 4) -> np.ndarray:
     """Winnowing-style document fingerprint: min rolling hash over word
     windows → 16-hex-char id. Deterministic; robust to small edits outside
-    the minimal window."""
-    import zlib
+    the minimal window. Batch-vectorized: one polynomial pass over all word
+    windows (functions.hashing) + per-doc ``minimum.reduceat``."""
+    from .hashing import word_kgram_hashes_batch
 
-    arr = _as_array(texts).to_pylist()
-    out = np.empty(len(arr), dtype=object)
-    for i, t in enumerate(arr):
-        words = (t or "").split()
-        if not words:
-            out[i] = "0" * 16
-            continue
-        hashes = [zlib.crc32(" ".join(words[j : j + window]).encode()) for j in range(max(1, len(words) - window + 1))]
-        out[i] = f"{min(hashes):08x}{len(words) % 0xFFFF:04x}{hashes[0] & 0xFFFF:04x}"
+    arr = _as_array(texts)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    h, seg_starts = word_kgram_hashes_batch(arr.to_pylist(), window)
+    mins = np.minimum.reduceat(h, seg_starts)
+    firsts = h[seg_starts]
+    nwords = whitespace_token_count(arr)
+    out = np.empty(n, dtype=object)
+    m32 = (mins & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    f16 = (firsts & np.uint64(0xFFFF)).astype(np.int64)
+    w16 = nwords % 0xFFFF
+    for i in range(n):
+        out[i] = (
+            "0" * 16
+            if nwords[i] == 0
+            else f"{m32[i]:08x}{w16[i]:04x}{f16[i]:04x}"
+        )
     return out

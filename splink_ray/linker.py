@@ -272,6 +272,22 @@ class _TableManagement:
         self._l.labels = _to_dataset(labels)
         return self._l.labels
 
+    def compute_tf_table(self, column: str) -> pd.DataFrame:
+        """Reference: ``table_management.compute_tf_table`` — the per-column
+        term-frequency table (value, tf_<column>)."""
+        from .stages.tf import term_frequency_table
+
+        return term_frequency_table(self._l._records(), column)
+
+    def concat_with_tf(self):
+        """Records Dataset + ``tf_<col>`` columns for every tf-adjusted
+        column — the reference's ``__splink__df_concat_with_tf``."""
+        from .stages.tf import attach_tf_columns, compute_tf_maps
+
+        cols = self._l.settings.tf_columns()
+        maps = compute_tf_maps(self._l._records(), cols)
+        return attach_tf_columns(self._l._records(), maps)
+
 
 class Linker:
     """``Linker(data, settings)`` where ``data`` is a Dataset / Arrow table /

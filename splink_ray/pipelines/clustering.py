@@ -36,10 +36,14 @@ from ..stages.exchange import broadcast
 
 
 def _threshold_edges(predictions_ds, threshold: float | None, uid: str):
+    cols = [f"{uid}_l", f"{uid}_r"]
     ds = predictions_ds
     if threshold is not None:
+        # project BEFORE filtering so the parquet read prunes to 3 columns
+        # (the scored table is much wider)
+        ds = ds.select_columns(cols + ["match_probability"])
         ds = ds.filter(expr=f"match_probability >= {threshold}")
-    return ds.select_columns([f"{uid}_l", f"{uid}_r"])
+    return ds.select_columns(cols)
 
 
 # ---------------------------------------------------------------------------

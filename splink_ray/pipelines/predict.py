@@ -64,12 +64,17 @@ def predict(
     The input must already be flat entity records (run
     ``stages.canonicalize.canonicalize`` first for transcript payloads).
     """
-    if materialize_records:
-        # blocking rules + tf tables branch from the records; materializing
-        # once avoids re-reading the input per branch (SURVEY.md §2.1 S4)
-        records_ds = records_ds.materialize()
-
     tf_cols = settings.tf_columns()
+    # materialize the records only when something consumes them MORE than
+    # once (tf branch, per-exploding-rule re-derivation). The plain pairgen
+    # path materializes its own narrow keyed projection inside
+    # generate_pairs, so materializing the full-width records there would
+    # only add an object-store copy of payload columns nothing reads.
+    reads_records_twice = bool(tf_cols) or any(
+        r.is_exploding for r in settings.blocking_rules_to_generate_predictions
+    )
+    if materialize_records and reads_records_twice:
+        records_ds = records_ds.materialize()
     tf_refs = None
     if tf_cols:
         maps = compute_tf_maps(records_ds, tf_cols)
@@ -106,6 +111,58 @@ def predict(
         threshold_match_weight=threshold_match_weight,
     )
     return scored, metrics
+
+
+def predict_to_partitioned(
+    records_ds,
+    settings: Settings,
+    scored_dir: str,
+    threshold_match_probability: float | None = None,
+    num_buckets: int | None = None,
+    analyze_skew: bool = True,
+):
+    """Fused predict whose output is written as one parquet partition PER
+    BUCKET (``{scored_dir}/bucket-<id>/`` with atomic tmp+rename and a
+    ``_DONE`` marker), so a killed run resumes at bucket granularity —
+    already-finished buckets are skipped without rescoring (north_rule).
+
+    Returns (scored Dataset reading ``scored_dir``, blocking metrics,
+    bucket-stats DataFrame with a ``skipped`` flag per bucket). Requires the
+    fused path (no retain_matching_columns, no exploding rules)."""
+    import os
+
+    import ray.data as rd
+
+    from ..stages.exchange import default_num_buckets
+
+    if settings.retain_matching_columns:
+        raise ValueError(
+            "predict_to_partitioned requires retain_matching_columns=False "
+            "(the fused scoring path)"
+        )
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    os.makedirs(scored_dir, exist_ok=True)
+
+    tf_cols = settings.tf_columns()
+    tf_refs = None
+    if tf_cols:
+        maps = compute_tf_maps(records_ds, tf_cols)
+        tf_refs = {c: broadcast(m) for c, m in maps.items()}
+
+    stats_ds, metrics = generate_pairs(
+        records_ds,
+        settings,
+        num_buckets=num_buckets,
+        analyze_skew=analyze_skew,
+        score_inline=True,
+        tf_refs=tf_refs,
+        sink_dir=scored_dir,
+        sink_threshold=threshold_match_probability,
+    )
+    stats = stats_ds.to_pandas()  # ≤ num_buckets rows
+    scored = rd.read_parquet(scored_dir)
+    return scored, metrics, stats
 
 
 def find_matches_to_new_records(

@@ -421,14 +421,20 @@ def _pairgen_bucket_multi(
 class _MultiSaltExpander:
     """map_batches fn: emit one row per (record, rule) with a rule-prefixed
     group label (+ salt-slot replication for hot keys) — all rules share ONE
-    downstream exchange. Hot-key maps broadcast once via ``ray.put``."""
+    downstream exchange. Hot-key maps broadcast once via ``ray.put``.
+
+    Used as a PLAIN callable (task pool): the instance pickles the tiny
+    object ref; the map itself is fetched once per worker process via
+    ``_fetch_broadcast`` (no actor-pool startup/ramp latency)."""
 
     def __init__(self, hot_ref, rule_idxs: list[int], uid_col: str):
-        import ray
-
-        self.hot: dict[int, dict] = ray.get(hot_ref) if hot_ref is not None else {}
+        self.hot_ref = hot_ref
         self.rule_idxs = rule_idxs
         self.uid_col = uid_col
+
+    @property
+    def hot(self) -> dict:
+        return _fetch_broadcast(self.hot_ref) or {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         parts = []
@@ -482,15 +488,17 @@ class _MultiSaltExpander:
 class _SaltExpander:
     """map_batches fn: replicate hot-key rows across salt-slot pairs.
 
-    Hot-key map is broadcast once via ``ray.put`` and fetched per worker
-    process (not per batch)."""
+    Plain callable; hot-key map broadcast once via ``ray.put`` and fetched
+    per worker process through ``_fetch_broadcast`` (not per batch)."""
 
     def __init__(self, hot_ref, key_c: str, uid_col: str):
-        import ray
-
-        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
+        self.hot_ref = hot_ref
         self.key_c = key_c
         self.uid_col = uid_col
+
+    @property
+    def hot(self) -> dict:
+        return _fetch_broadcast(self.hot_ref) or {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         key_c, uid_col = self.key_c, self.uid_col
@@ -539,8 +547,22 @@ class _SaltExpander:
 
 # per-worker-process caches for the fused pairgen+score tasks: the DuckDB
 # kernel is a process singleton already (duckdb_kernels.get_kernel); TF maps
-# are fetched from plasma once per process per object ref
+# and hot-key maps are fetched from plasma once per process per object ref
 _TF_CACHE: dict = {}
+_BCAST_CACHE: dict = {}
+
+
+def _fetch_broadcast(ref):
+    """ray.get(ref) memoized per worker process (plain tasks get the same
+    amortization an actor pool would, without the pool's startup/ramp cost)."""
+    if ref is None:
+        return None
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BCAST_CACHE:
+        import ray
+
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
 
 
 def _fused_tf_maps(tf_refs):
@@ -695,6 +717,8 @@ def generate_pairs(
     collect_metrics: bool = True,
     score_inline: bool = False,
     tf_refs: dict | None = None,
+    sink_dir: str | None = None,
+    sink_threshold: float | None = None,
 ):
     """Records Dataset → candidate-pair Dataset + blocking metrics.
 
@@ -704,12 +728,21 @@ def generate_pairs(
     ``score_inline=True`` fuses gamma + FS scoring into the pairgen bucket
     task (actor pool holding the DuckDB kernel + broadcast TF maps) and emits
     only narrow scored rows — the fast path ``predict()`` uses when matching
-    columns need not be retained."""
+    columns need not be retained.
+
+    ``sink_dir`` (requires ``score_inline``): RESUMABLE bucket sink — each
+    bucket task writes its own scored partition ``{sink_dir}/bucket-<id>/``
+    (atomic tmp+rename, ``_DONE`` marker) and emits one stats row instead of
+    data; buckets whose ``_DONE`` already exists are skipped WITHOUT
+    rescoring (north_rule: a killed predict resumes at bucket granularity).
+    ``sink_threshold`` filters match_probability before writing."""
     rules = settings.blocking_rules_to_generate_predictions
     if not rules:
         raise ValueError("no blocking rules configured")
     if score_inline and any(r.is_exploding for r in rules):
         raise ValueError("score_inline does not support exploding rules")
+    if sink_dir is not None and not score_inline:
+        raise ValueError("sink_dir requires score_inline=True")
     from ..validation import validate_settings_against_dataset
 
     validate_settings_against_dataset(settings, records_ds)
@@ -724,6 +757,20 @@ def generate_pairs(
     if num_buckets is None:
         num_buckets = default_num_buckets()
 
+    # fused scoring never emits the raw pair columns, so its wide chunks
+    # only need what the comparisons (and retention/link predicates) read —
+    # blocking-key SOURCE columns (already shipped as bk_*) drop out of the
+    # take entirely
+    score_cols = out_cols
+    if score_inline:
+        comp_cols: set = set()
+        for c in settings.comparisons:
+            comp_cols |= c.columns_used()
+        comp_cols |= set(settings.additional_columns_to_retain)
+        if settings.link_type != "dedupe_only":
+            comp_cols.add(settings.source_dataset_column_name)
+        score_cols = sorted(comp_cols - {uid})
+
     metrics: dict = {"rules": []}
     non_exploding = [r for r in rules if not r.is_exploding]
     plain_keys = None
@@ -733,7 +780,9 @@ def generate_pairs(
         # carry heavy payload columns (turn_texts ≈ the whole conversation)
         # that no comparison reads — shipping them through the sort wastes
         # most of the exchange bandwidth
-        needed = [uid] + out_cols + [bk_col(j) for j in range(len(rules))]
+        needed = [uid] + (score_cols if score_inline else out_cols) + [
+            bk_col(j) for j in range(len(rules))
+        ]
         plain_keys = plain_keys.map_batches(
             lambda t, cols=tuple(needed): t.select([c for c in cols if c in t.column_names]),
             batch_format="pyarrow",
@@ -741,9 +790,14 @@ def generate_pairs(
     plain_metrics: dict[int, dict] = {}
     plain_hot: dict[int, dict] = {}
     if plain_keys is not None and (analyze_skew or collect_metrics):
+        # the skew analysis AND the pairgen exchange both consume the keyed
+        # projection: materialize it ONCE so key derivation runs a single
+        # time (it executed twice before — the dominant fixed cost the
+        # round-1 scaling measurement flagged)
+        plain_keys = plain_keys.materialize()
         plain_idxs = [i for i, r in enumerate(rules) if not r.is_exploding]
         try:
-            n_records = records_ds.count()
+            n_records = plain_keys.count()  # metadata count on materialized
         except Exception:
             n_records = None
         plain_metrics, plain_hot = analyze_all_rules_skew(
@@ -776,14 +830,8 @@ def generate_pairs(
                     metrics["rules"].append(plain_metrics[i])
         hot_ref = broadcast(hot_by_rule) if hot_by_rule else None
         expanded = plain_keys.map_batches(
-            _MultiSaltExpander,
+            _MultiSaltExpander(hot_ref, plain_idxs, uid),
             batch_format="pyarrow",
-            concurrency=(1, max(2, default_num_buckets() // 3)),
-            fn_constructor_kwargs={
-                "hot_ref": hot_ref,
-                "rule_idxs": plain_idxs,
-                "uid_col": uid,
-            },
         )
         earlier_by_rule = {i: [bk_col(j) for j in range(i)] for i in plain_idxs}
 
@@ -795,7 +843,7 @@ def generate_pairs(
                 # chunk is dropped as soon as it's scored)
                 chunks = list(
                     _pairgen_score_stream(
-                        t, settings, out_cols, earlier_by_rule, tf_refs, keep_cols
+                        t, settings, score_cols, earlier_by_rule, tf_refs, keep_cols
                     )
                 )
                 if chunks:
@@ -806,7 +854,7 @@ def generate_pairs(
                 empty_wide = _pairgen_bucket_multi(
                     t.slice(0, 0),
                     uid,
-                    out_cols,
+                    score_cols,
                     earlier_by_rule,
                     None,
                     settings.link_type,
@@ -828,7 +876,88 @@ def generate_pairs(
                     settings.source_dataset_column_name,
                 )
 
-        pair_dss.append(keyed_map(expanded, PG_COL, _bucket_fn, num_buckets=num_buckets))
+        if score_inline and sink_dir is not None:
+
+            def _empty_scored(t: pa.Table) -> pa.Table:
+                from ..settings import make_eval_context
+                from .scoring import score_pair_batch
+
+                empty_wide = _pairgen_bucket_multi(
+                    t.slice(0, 0),
+                    uid,
+                    score_cols,
+                    earlier_by_rule,
+                    None,
+                    settings.link_type,
+                    settings.source_dataset_column_name,
+                )
+                return score_pair_batch(
+                    empty_wide, settings, make_eval_context(settings), {}, keep_cols
+                )
+
+            def _bucket_sink_fn(t: pa.Table) -> pa.Table:
+                import os
+                import shutil
+
+                import pyarrow.parquet as pq
+
+                from .exchange import BUCKET_COL
+
+                bid = int(t[BUCKET_COL][0].as_py()) if len(t) else -1
+
+                def _stats(rows: int, skipped: bool) -> pa.Table:
+                    return pa.table(
+                        {
+                            "bucket": pa.array([bid], pa.int32()),
+                            "rows": pa.array([rows], pa.int64()),
+                            "skipped": pa.array([skipped], pa.bool_()),
+                        }
+                    )
+
+                part = os.path.join(sink_dir, f"bucket-{bid}")
+                if os.path.exists(os.path.join(part, "_DONE")):
+                    return _stats(-1, True)  # resume: bucket NOT rescored
+                t2 = t.drop_columns([BUCKET_COL])
+                tmp = part + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp, exist_ok=True)
+                writer = None
+                rows = 0
+                for chunk in _pairgen_score_stream(
+                    t2, settings, score_cols, earlier_by_rule, tf_refs, keep_cols
+                ):
+                    if sink_threshold is not None and len(chunk):
+                        chunk = chunk.filter(
+                            pc.greater_equal(chunk["match_probability"], sink_threshold)
+                        )
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            os.path.join(tmp, "part-0.parquet"), chunk.schema
+                        )
+                    writer.write_table(chunk)
+                    rows += len(chunk)
+                if writer is None:
+                    empty = _empty_scored(t2)
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp, "part-0.parquet"), empty.schema
+                    )
+                    writer.write_table(empty)
+                writer.close()
+                shutil.rmtree(part, ignore_errors=True)  # stale partial (no _DONE)
+                os.rename(tmp, part)
+                open(os.path.join(part, "_DONE"), "w").close()
+                return _stats(rows, False)
+
+            pair_dss.append(
+                keyed_map(
+                    expanded, PG_COL, _bucket_sink_fn,
+                    num_buckets=num_buckets, drop_bucket=False,
+                )
+            )
+        else:
+            pair_dss.append(
+                keyed_map(expanded, PG_COL, _bucket_fn, num_buckets=num_buckets)
+            )
 
     # ---- exploding rules: per-rule legacy path ---------------------------
     for i, rule in enumerate(rules):
@@ -849,10 +978,8 @@ def generate_pairs(
             hot_map = {"*": rule.salting_partitions, **hot_map}
         hot_ref = broadcast(hot_map) if hot_map else None
         expanded = ds_keys.map_batches(
-            _SaltExpander,
+            _SaltExpander(hot_ref, bk_col(i), uid),
             batch_format="pyarrow",
-            concurrency=(1, max(2, default_num_buckets() // 3)),
-            fn_constructor_kwargs={"hot_ref": hot_ref, "key_c": bk_col(i), "uid_col": uid},
         )
         earlier = [bk_col(j) for j in range(i)]
 

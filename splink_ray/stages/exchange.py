@@ -41,8 +41,13 @@ def default_parallelism() -> int:
 
 
 def default_num_buckets(num_rows_hint: int | None = None) -> int:
-    """2–4 buckets per CPU (SURVEY.md §4.2.1), bounded below for tiny data."""
-    b = default_parallelism() * 3
+    """~8 buckets per CPU, bounded below for tiny data.
+
+    Measured on the dense bench (625M pairs, 32 CPUs): 3×CPU buckets leave
+    straggler tails that cost ~20% wall time; 6–8×CPU packs the heavy
+    pair-group tasks far better (94.7 s → 79.1 s) and keeps per-task peak
+    memory smaller. Fixed per-bucket cost stays negligible at these sizes."""
+    b = default_parallelism() * 8
     if num_rows_hint is not None:
         b = min(b, max(1, num_rows_hint // 100 + 1))
     return max(2, b)

@@ -47,6 +47,7 @@ def score_pair_batch(
     bucket stage)."""
     gammas: dict[str, np.ndarray] = {}
     tf_values: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    tf_value_cols: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for comp in settings.comparisons:
         gammas[comp.gamma_column_name] = comp.compute_gamma(pairs, ctx)
         tf_cols = {
@@ -55,7 +56,9 @@ def score_pair_batch(
             if lv.tf_adjustment_column
         }
         if tf_cols:
-            tf_values[comp.output_column_name] = _tf_lookup(tf_maps, pairs, tf_cols.pop())
+            col = tf_cols.pop()
+            tf_values[comp.output_column_name] = _tf_lookup(tf_maps, pairs, col)
+            tf_value_cols[col] = tf_values[comp.output_column_name]
 
     if hasattr(ctx, "clear_cache"):
         ctx.clear_cache()
@@ -63,7 +66,15 @@ def score_pair_batch(
     if keep_cols is not None:
         out = out.select([c for c in keep_cols if c in out.column_names])
     for name, g in gammas.items():
-        out = out.append_column(name, pa.array(g, pa.int32()))
+        # int8: gamma ∈ [−1, #levels) — 4× narrower than int32 through the
+        # object store and the scored parquet (measured ~15 B/pair saved)
+        out = out.append_column(name, pa.array(g.astype(np.int8), pa.int8()))
+    if settings.retain_intermediate_calculation_columns:
+        # reference parity: the tf_<col>_l / tf_<col>_r columns users of
+        # splink's __splink__df_concat_with_tf inspect (SURVEY §2.7)
+        for col, (tl, tr) in tf_value_cols.items():
+            out = out.append_column(f"tf_{col}_l", pa.array(tl, pa.float64()))
+            out = out.append_column(f"tf_{col}_r", pa.array(tr, pa.float64()))
     if compute_score:
         scores = score_gamma_table(settings, gammas, tf_values)
         for name in sorted(scores):

@@ -48,6 +48,43 @@ def term_frequency_table(records_ds, column: str, total: int | None = None):
     return counts.drop(columns=["n"]).sort_values(column).reset_index(drop=True)
 
 
+def attach_tf_columns(records_ds, tf_maps: dict[str, dict]):
+    """Records Dataset + one ``tf_<col>`` column per tf-adjusted column —
+    the reference's ``__splink__df_concat_with_tf`` shape (SURVEY §2.7).
+    The (small) tf maps are broadcast once via ``ray.put`` and fetched per
+    actor, never re-shipped per batch."""
+    import pandas as pd
+
+    from .exchange import broadcast, default_parallelism
+
+    ref = broadcast(tf_maps)
+
+    class _Attach:
+        def __init__(self, ref):
+            import ray
+
+            self.maps = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            for col, m in self.maps.items():
+                vals = (
+                    pd.Series(t[col].to_pandas())
+                    .map(m)
+                    .to_numpy(dtype="float64", na_value=float("nan"))
+                )
+                t = t.append_column(f"tf_{col}", pa.array(vals, pa.float64()))
+            return t
+
+    p = default_parallelism()
+    return records_ds.map_batches(
+        _Attach,
+        batch_format="pyarrow",
+        concurrency=(max(1, p // 2), max(2, p)),
+        num_cpus=1,
+        fn_constructor_kwargs={"ref": ref},
+    )
+
+
 def compute_tf_maps(records_ds, columns: list[str]) -> dict[str, dict]:
     """{column: {value: tf}} for every tf-adjusted column; driver-side small.
 

@@ -153,24 +153,95 @@ def predict_with_checkpoints(
         info["skipped"].append("records")
 
     metrics_box = {}
-
-    def _scored():
-        scored, metrics = predict(
-            records,
-            settings,
-            threshold_match_probability=threshold_match_probability,
-            num_buckets=num_buckets,
-            materialize_records=False,
-        )
-        metrics_box.update(metrics)
-        return scored
-
-    scored_key = f"{input_fp}|thr={threshold_match_probability}|buckets={num_buckets}"
-    scored, skipped = ck.stage(
-        "scored", _scored, input_key=scored_key, metrics_fn=lambda: metrics_box
+    fused = not settings.retain_matching_columns and not any(
+        r.is_exploding for r in settings.blocking_rules_to_generate_predictions
     )
-    if skipped:
-        info["skipped"].append("scored")
+    if num_buckets is None and fused:
+        # pin the bucket count so a resume on different CPU counts reuses
+        # the same bucket partitioning
+        from ..stages.exchange import default_num_buckets
+
+        num_buckets = default_num_buckets()
+    scored_key = f"{input_fp}|thr={threshold_match_probability}|buckets={num_buckets}"
+
+    if fused:
+        # bucket-granular resume: the scored stage accumulates per-bucket
+        # parquet partitions under `scored.partial/data/bucket-*`; a rerun
+        # after a kill re-runs the exchange but SKIPS rescoring of buckets
+        # whose _DONE marker exists, then the stage finalizes atomically.
+        from ..pipelines.predict import predict_to_partitioned
+
+        if ck.is_complete("scored", scored_key):
+            scored = ck.load("scored")
+            info["skipped"].append("scored")
+        else:
+            d = ck._stage_dir("scored")
+            partial = d + ".partial"
+            keyfile = os.path.join(partial, "stage_key")
+            if os.path.exists(partial):
+                try:
+                    stale = open(keyfile).read() != f"{ck.config_key}|{scored_key}"
+                except Exception:
+                    stale = True
+                if stale:
+                    shutil.rmtree(partial)
+            data_dir = os.path.join(partial, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            with open(keyfile, "w") as f:
+                f.write(f"{ck.config_key}|{scored_key}")
+            scored, metrics, stats = predict_to_partitioned(
+                records,
+                settings,
+                data_dir,
+                threshold_match_probability=threshold_match_probability,
+                num_buckets=num_buckets,
+            )
+            metrics_box.update(metrics)
+            info["bucket_stats"] = {
+                "n_buckets": int(len(stats)),
+                "skipped_buckets": int(stats["skipped"].sum()) if len(stats) else 0,
+            }
+            import pyarrow.parquet as pq
+
+            rows = 0
+            for root_, _dirs, files_ in os.walk(data_dir):
+                for fname in files_:
+                    if fname.endswith(".parquet"):
+                        rows += pq.read_metadata(os.path.join(root_, fname)).num_rows
+            manifest = {
+                "stage": "scored",
+                "config_key": ck.config_key,
+                "input_key": scored_key,
+                "rows": rows,
+                "metrics": metrics_box,
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            with open(os.path.join(partial, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=2, default=str)
+            os.remove(keyfile)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            os.rename(partial, d)
+            open(os.path.join(d, "_DONE"), "w").close()
+            scored = ck.load("scored")
+    else:
+
+        def _scored():
+            scored, metrics = predict(
+                records,
+                settings,
+                threshold_match_probability=threshold_match_probability,
+                num_buckets=num_buckets,
+                materialize_records=False,
+            )
+            metrics_box.update(metrics)
+            return scored
+
+        scored, skipped = ck.stage(
+            "scored", _scored, input_key=scored_key, metrics_fn=lambda: metrics_box
+        )
+        if skipped:
+            info["skipped"].append("scored")
     info["blocking_metrics"] = (ck.manifest("scored") or {}).get("metrics")
 
     if cluster_threshold is None:

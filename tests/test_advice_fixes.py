@@ -297,3 +297,48 @@ def test_typod_column_raises_before_execution(ray_session):
     s2 = Settings(blocking_rules_to_generate_predictions=[block_on("ctiy")])
     with pytest.raises(SettingsColumnError, match="ctiy"):
         predict(records, s2, materialize_records=False)
+
+
+def test_tf_columns_materialized_and_concat_with_tf(ray_session):
+    """SURVEY §2.7 parity: tf_<col>_l/r pair columns under
+    retain_intermediate_calculation_columns, and the concat_with_tf records
+    surface."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray import Linker
+    from splink_ray.blocking_rule_library import block_on
+
+    records = pa.table(
+        {
+            "unique_id": ["a", "b", "c", "d"],
+            "city": ["x", "x", "x", "y"],
+        }
+    )
+    comp = Comparison(
+        "city",
+        [
+            cll.NullLevel("city"),
+            cll.ExactMatchLevel(
+                "city", m_probability=0.9, u_probability=0.1,
+                tf_adjustment_column="city",
+            ),
+            cll.ElseLevel(m_probability=0.1, u_probability=0.9),
+        ],
+    )
+    s = Settings(
+        blocking_rules_to_generate_predictions=[block_on("city")],
+        comparisons=[comp],
+        retain_intermediate_calculation_columns=True,
+    )
+    linker = Linker(rd.from_arrow(records), s)
+    preds = linker.inference.predict().to_pandas()
+    assert {"tf_city_l", "tf_city_r", "bf_city", "bf_tf_adj_city"} <= set(preds.columns)
+    # city 'x' appears 3/4 → tf = 0.75 on both sides of every x-block pair
+    assert np.allclose(preds["tf_city_l"], 0.75)
+
+    cwt = linker.table_management.concat_with_tf().to_pandas().set_index("unique_id")
+    assert cwt.loc["a", "tf_city"] == pytest.approx(0.75)
+    assert cwt.loc["d", "tf_city"] == pytest.approx(0.25)
+    tf_tbl = linker.table_management.compute_tf_table("city")
+    assert set(tf_tbl.columns) == {"city", "tf_city"}

@@ -73,3 +73,46 @@ def test_determinism_two_full_runs(ray_session, records, tmp_path):
     a, _ = predict_with_checkpoints(records, s, str(tmp_path / "a"), threshold_match_probability=0.5)
     b, _ = predict_with_checkpoints(records, s, str(tmp_path / "b"), threshold_match_probability=0.5)
     pd.testing.assert_frame_equal(_sorted_df(a), _sorted_df(b))
+
+
+def test_bucket_partitioned_resume(ray_session, records, tmp_path):
+    """north_rule: a killed predict resumes at BUCKET granularity — finished
+    buckets are skipped without rescoring, output identical."""
+    import glob
+
+    from splink_ray.pipelines.predict import predict_to_partitioned
+
+    s = transcript_settings()
+    d = str(tmp_path / "scored")
+    scored1, _, stats1 = predict_to_partitioned(
+        records, s, d, threshold_match_probability=0.5, num_buckets=8
+    )
+    df1 = _sorted_df(scored1)
+    assert stats1["skipped"].sum() == 0
+    buckets = sorted(glob.glob(os.path.join(d, "bucket-*")))
+    assert len(buckets) >= 2
+
+    # kill simulation: two buckets lost, one stale tmp left behind
+    shutil.rmtree(buckets[0])
+    shutil.rmtree(buckets[1])
+    os.makedirs(os.path.join(d, "bucket-999.tmp"))
+
+    scored2, _, stats2 = predict_to_partitioned(
+        records, s, d, threshold_match_probability=0.5, num_buckets=8
+    )
+    assert stats2["skipped"].sum() == len(stats2) - 2  # only lost buckets rescored
+    pd.testing.assert_frame_equal(df1, _sorted_df(scored2))
+
+
+def test_checkpointed_predict_uses_bucket_partitions(ray_session, records, tmp_path):
+    import glob
+
+    run_dir = str(tmp_path / "run")
+    s = transcript_settings()
+    out, info = predict_with_checkpoints(records, s, run_dir, threshold_match_probability=0.5)
+    assert info["bucket_stats"]["skipped_buckets"] == 0
+    parts = glob.glob(os.path.join(run_dir, "scored", "data", "bucket-*"))
+    assert parts, "scored stage should be bucket-partitioned"
+    # rerun skips the whole stage
+    _, info2 = predict_with_checkpoints(records, s, run_dir, threshold_match_probability=0.5)
+    assert "scored" in info2["skipped"]
