@@ -464,6 +464,57 @@ def q_fingerprint_docs(sf_dir: str):
     )
 
 
+def q_normalize_docs(sf_dir: str):
+    """Corpus: text normalization (lowercase, whitespace collapse, strip)."""
+    from splink_ray.stages.corpus import normalize_text
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "norm_text": normalize_text(t["text"])})
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_chunk_docs(sf_dir: str):
+    """Corpus: overlapping word-window chunking (16 tokens, overlap 4)."""
+    from splink_ray.stages.corpus import chunk_documents
+
+    return chunk_documents(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        chunk_tokens=16, overlap=4,
+    )
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus: top-20 word bigrams by count (deterministic tie-break)."""
+    from splink_ray.stages.corpus import top_k_ngrams
+
+    return top_k_ngrams(_ds(sf_dir, "documents", ["doc_id", "text"]), "text", n=2, k=20)
+
+
+def q_clean_corpus_docs(sf_dir: str):
+    """Corpus: composed cleaning pipeline (normalize → quality gate →
+    language filter → exact dedup) — survivor ids."""
+    from splink_ray.stages.corpus import clean_corpus
+
+    out = clean_corpus(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        min_tokens=5, max_punct_ratio=0.3, languages=("en",),
+    )
+    return out.select_columns(["doc_id"])
+
+
+def q_embedding_dedup_groups(sf_dir: str):
+    """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
+    group), brute baseline for the oracle."""
+    from splink_ray.stages.dedup import embedding_dedup_groups
+
+    return embedding_dedup_groups(
+        _ds(sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35, brute=True
+    )
+
+
 def q_canonicalize_transcripts(sf_dir: str):
     """M6: transcripts → entity records (rows-only; derivation not in SQL)."""
     import ray.data as rd
@@ -545,6 +596,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "normalize_docs": q_normalize_docs,
+        "chunk_docs": q_chunk_docs,
+        "top_bigrams": q_top_bigrams,
+        "clean_corpus_docs": q_clean_corpus_docs,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
@@ -614,6 +670,35 @@ def _langid_sql() -> str:
         + ", ".join(f"c_{lang}" for lang in langs)
         + f") = 0 THEN 'und' {case} END AS lang_detected "
         f"FROM (SELECT doc_id, {counts} FROM documents)"
+    )
+
+
+def _clean_corpus_sql() -> str:
+    """Oracle for the composed cleaning pipeline: normalize → quality gate →
+    'en' language filter (first-wins argmax) → min-id per distinct norm."""
+    from splink_ray.functions.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    counts = ", ".join(
+        "len(regexp_extract_all(norm_text, '(?i)\\b("
+        + "|".join(_STOPWORDS[lang])
+        + ")\\b')) AS c_" + lang
+        for lang in langs
+    )
+    en_wins = " AND ".join(f"c_en >= c_{o}" for o in langs[1:])
+    gmax = ", ".join(f"c_{lang}" for lang in langs)
+    return (
+        "WITH norm AS (SELECT doc_id, "
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text "
+        "FROM documents), "
+        "feat AS (SELECT doc_id, norm_text, "
+        "len(regexp_extract_all(norm_text, '\\S+')) AS n_tok, "
+        "len(regexp_extract_all(norm_text, '[^\\w\\s]'))::DOUBLE "
+        "/ greatest(length(norm_text), 1) AS punct, "
+        f"{counts} FROM norm) "
+        "SELECT min(doc_id) AS doc_id FROM feat "
+        f"WHERE n_tok >= 5 AND punct <= 0.3 AND greatest({gmax}) > 0 AND {en_wins} "
+        "GROUP BY md5(norm_text)"
     )
 
 
@@ -822,6 +907,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "langid_docs": _langid_sql(),
+        "normalize_docs": (
+            "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS norm_text FROM documents"
+        ),
+        "chunk_docs": (
+            "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+            "ELSE str_split(text, ' ') END AS w FROM documents) "
+            "SELECT doc_id, CAST(gs.i AS INT) AS chunk_idx, "
+            "array_to_string(list_slice(w, gs.i * 12 + 1, gs.i * 12 + 16), ' ') AS chunk_text, "
+            "greatest(least(len(w), gs.i * 12 + 16) - gs.i * 12, 0) AS n_tokens "
+            "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+            "greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i) gs"
+        ),
+        "top_bigrams": (
+            "WITH toks AS (SELECT CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[]) "
+            "ELSE str_split(text, ' ') END AS w FROM documents), "
+            "grams AS (SELECT array_to_string(list_slice(w, gs.i + 1, gs.i + 2), ' ') AS ngram "
+            "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) gs "
+            "WHERE len(w) >= 2) "
+            "SELECT ngram, count(*) AS n FROM grams GROUP BY ngram "
+            "ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        "clean_corpus_docs": _clean_corpus_sql(),
+        "embedding_dedup_groups": (
+            "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+            "AND list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
+            "CAST(r.embedding AS DOUBLE[])) >= 0.35), "
+            "edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e), "
+            "reach(node, rep) AS (SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node) "
+            "SELECT node AS vec_id, min(rep) AS dup_group_id FROM reach GROUP BY node"
+        ),
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"

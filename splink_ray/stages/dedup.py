@@ -493,3 +493,33 @@ def embedding_cosine_pairs(
 
     keyed = ds.map_batches(_key, batch_format="pyarrow")
     return _embedding_cosine_bucketed(keyed, vec_col, id_col, threshold, num_buckets)
+
+
+def embedding_dedup_groups(
+    ds, vec_col: str, id_col: str, threshold: float = 0.9,
+    n_planes: int = 12, num_buckets=None, brute: bool = False,
+):
+    """Embedding near-dup groups end to end: cosine pairs (SRP-LSH by
+    default, ``brute=True`` for the small-scale oracle baseline) → connected
+    components → (id, dup_group_id = min id of the component)."""
+    pairs = embedding_cosine_pairs(
+        ds, vec_col, id_col, threshold=threshold, n_planes=n_planes,
+        num_buckets=num_buckets, brute=brute,
+    )
+    from ..pipelines.clustering import cluster_pairwise_predictions_at_threshold
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "unique_id_l": t["id_l"],
+                "unique_id_r": t["id_r"],
+                "match_probability": pa.array(np.ones(len(t)), pa.float64()),
+            }
+        )
+
+    preds = pairs.map_batches(_prep, batch_format="pyarrow")
+    records = ds.map_batches(
+        lambda t: pa.table({"unique_id": t[id_col]}), batch_format="pyarrow"
+    )
+    clustered, _ = cluster_pairwise_predictions_at_threshold(records, preds, None)
+    return clustered.rename_columns({"unique_id": str(id_col), "cluster_id": "dup_group_id"})
