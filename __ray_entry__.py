@@ -464,6 +464,46 @@ def q_fingerprint_docs(sf_dir: str):
     )
 
 
+def q_link_only_pairs(sf_dir: str):
+    """M1+B2 link_only: customer↔supplier cross-source pairs blocked on
+    nationkey (same-source pairs excluded by the link type)."""
+    from splink_ray.pipelines.predict import vertically_concatenate
+
+    from splink_ray.stages.blocking import generate_pairs
+
+    def _prep(ds, uid_col, name_col, prefix):
+        def _f(t: pa.Table, uid_col=uid_col, name_col=name_col, prefix=prefix) -> pa.Table:
+            uid = pa.compute.binary_join_element_wise(
+                pa.array([prefix] * len(t)), pa.compute.cast(t[uid_col], pa.string()), ""
+            )
+            return pa.table(
+                {"unique_id": uid, "name": t[name_col], "nationkey": t["nationkey"]}
+            )
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    cust = _prep(
+        _ds(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).rename_columns(
+            {"c_nationkey": "nationkey"}
+        ),
+        "c_custkey", "c_name", "c",
+    )
+    supp = _prep(
+        _ds(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).rename_columns(
+            {"s_nationkey": "nationkey"}
+        ),
+        "s_suppkey", "s_name", "s",
+    )
+    s = Settings(
+        link_type="link_only",
+        blocking_rules_to_generate_predictions=[block_on("nationkey")],
+        retain_matching_columns=False,
+    )
+    records = vertically_concatenate({"customer": cust, "supplier": supp}, s)
+    pairs, _ = generate_pairs(records, s, analyze_skew=False, collect_metrics=False)
+    return pairs.select_columns(["unique_id_l", "unique_id_r", "match_key"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Corpus: text normalization (lowercase, whitespace collapse, strip)."""
     from splink_ray.stages.corpus import normalize_text
@@ -596,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "link_only_pairs": q_link_only_pairs,
         "normalize_docs": q_normalize_docs,
         "chunk_docs": q_chunk_docs,
         "top_bigrams": q_top_bigrams,
@@ -907,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "langid_docs": _langid_sql(),
+        "link_only_pairs": (
+            # prefixes make uids globally unique and force customer < supplier
+            # lexicographically, matching the engine's uid_l < uid_r rule
+            "SELECT 'c' || l.c_custkey AS unique_id_l, "
+            "'s' || r.s_suppkey AS unique_id_r, 0 AS match_key "
+            "FROM customer l JOIN supplier r ON l.c_nationkey = r.s_nationkey"
+        ),
         "normalize_docs": (
             "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS norm_text FROM documents"
