@@ -299,6 +299,41 @@ def q_clusters_exact_text(sf_dir: str):
     return df[["doc_id", "cluster_id"]]
 
 
+def q_clusters_distributed(sf_dir: str):
+    """C2 distributed solver: same component semantics as
+    q_clusters_exact_text but forced through the min-label-propagation +
+    pointer-jumping Dataset solver on NATIVE int ids (the auto path would
+    pick local union-find at this size)."""
+    from splink_ray.pipelines.clustering import cluster_pairwise_predictions_at_threshold
+    from splink_ray.stages.blocking import generate_pairs
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    s = Settings(
+        unique_id_column_name="doc_id",
+        blocking_rules_to_generate_predictions=[block_on("text")],
+    )
+    pairs, _ = generate_pairs(docs, s, analyze_skew=False, collect_metrics=False)
+
+    def _p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "unique_id_l": t["doc_id_l"],
+                "unique_id_r": t["doc_id_r"],
+                "match_probability": pa.array(np.ones(len(t)), pa.float64()),
+            }
+        )
+
+    preds = pairs.map_batches(_p, batch_format="pyarrow")
+    records = docs.map_batches(
+        lambda t: pa.table({"unique_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    clustered, _ = cluster_pairwise_predictions_at_threshold(
+        records, preds, 0.5, method="distributed"
+    )
+    df = clustered.to_pandas().rename(columns={"unique_id": "doc_id"})
+    return df[["doc_id", "cluster_id"]]
+
+
 def q_graph_degree(sf_dir: str):
     """C3: node degree over the blocking-pair edge set."""
     from splink_ray.stages.blocking import generate_pairs
@@ -625,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "em_agreement_patterns": q_em_agreement_patterns,
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
+        "clusters_distributed": q_clusters_distributed,
         "graph_degree": q_graph_degree,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -896,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
             "ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey"
         ),
         "clusters_exact_text": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id "
+            "FROM documents"
+        ),
+        "clusters_distributed": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id "
             "FROM documents"
         ),

@@ -40,6 +40,10 @@ def _tune_allocators() -> None:
         _pa.jemalloc_set_decay_ms(10_000)
     except Exception:
         pass
+    # NOTE: pre-faulting worker pools at import (128 MB numpy + arrow per
+    # process) was tried and REGRESSED cold predict ~15% — 32 workers
+    # faulting 8 GB concurrently at startup contend worse than faulting
+    # lazily inside the first tasks. Don't re-add.
 
 
 _tune_allocators()

@@ -179,3 +179,46 @@ def test_ngram_grouped_path(ray_session):
     ).to_pandas()
     got = set(zip(out.id_l, out.id_r))
     assert got == {(1, 2), (3, 4)}  # no cross-group comparisons
+
+
+# ---------------------------------------------------------------------------
+# hypothesis hardening: batch kernels == scalar references on arbitrary text
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hsettings, strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(_texts)
+def test_minhash_batch_scalar_property(texts):
+    batch = hashing.minhash_signatures_batch(texts, num_perm=16, k=3)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], hashing.minhash_signature(t, 16, 3))
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(_texts)
+def test_simhash_batch_scalar_property(texts):
+    batch = hashing.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == hashing.simhash64(t)
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(_texts)
+def test_word_kgram_consistency_property(texts):
+    """Same token sequence ⇒ same word-kgram hashes regardless of batch
+    company (position independence)."""
+    h_all, starts = hashing.word_kgram_hashes_batch(texts, 2)
+    ends = np.append(starts[1:], len(h_all))
+    for i, t in enumerate(texts):
+        h_one, _ = hashing.word_kgram_hashes_batch([t], 2)
+        np.testing.assert_array_equal(h_all[starts[i]:ends[i]], h_one)
