@@ -499,6 +499,41 @@ def q_fingerprint_docs(sf_dir: str):
     )
 
 
+def q_sessionize_events(sf_dir: str):
+    """Windowed ops: gap-based sessionization (30-min gap) per user."""
+    from splink_ray.stages.events import sessionize
+
+    return sessionize(
+        _ds(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        "user_id", "ts", "event_id", gap_minutes=30,
+    )
+
+
+def q_window_event_stats(sf_dir: str):
+    """Windowed ops: 10-minute tumbling (window, event_type) count + sum."""
+    from splink_ray.stages.events import tumbling_window_agg
+
+    out = tumbling_window_agg(
+        _ds(sf_dir, "events", ["ts", "event_type", "value"]),
+        "ts", window_minutes=10, by="event_type", value_col="value",
+    ).to_pandas()
+    return _round(out, {"sum_value": 6})
+
+
+def q_last_click_before(sf_dir: str):
+    """Windowed ops: as-of lookup — per event, ts of the most recent prior
+    'click' by the same user (epoch µs, −1 when none)."""
+    from splink_ray.stages.events import last_event_before
+
+    out = last_event_before(
+        _ds(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_id", "event_type", "click",
+    ).to_pandas()
+    us = out["last_ref_ts"].astype("datetime64[us]").astype("int64")
+    out["last_ref_us"] = us.where(out["last_ref_ts"].notna(), -1)
+    return out[["event_id", "last_ref_us"]]
+
+
 def q_link_only_pairs(sf_dir: str):
     """M1+B2 link_only: customer↔supplier cross-source pairs blocked on
     nationkey (same-source pairs excluded by the link type)."""
@@ -672,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "sessionize_events": q_sessionize_events,
+        "window_event_stats": q_window_event_stats,
+        "last_click_before": q_last_click_before,
         "link_only_pairs": q_link_only_pairs,
         "normalize_docs": q_normalize_docs,
         "chunk_docs": q_chunk_docs,
@@ -988,6 +1026,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "langid_docs": _langid_sql(),
+        "sessionize_events": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(brk) OVER w AS BIGINT) AS session_seq, "
+            "user_id::VARCHAR || ':' || CAST(sum(brk) OVER w AS VARCHAR) AS session_id "
+            "FROM (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
+        ),
+        "window_event_stats": (
+            "SELECT make_timestamp(epoch_us(ts) // 600000000 * 600000000) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "last_click_before": (
+            "SELECT event_id, coalesce(epoch_us("
+            "max(CASE WHEN event_type = 'click' THEN ts END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), -1) AS last_ref_us "
+            "FROM events"
+        ),
         "link_only_pairs": (
             # prefixes make uids globally unique and force customer < supplier
             # lexicographically, matching the engine's uid_l < uid_r rule

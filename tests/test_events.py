@@ -1,0 +1,80 @@
+"""Windowed / sessionized event operators (stages/events.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from splink_ray.stages import events
+
+
+def _events_table():
+    base = np.datetime64("2025-03-01T10:00:00", "us")
+    m = np.timedelta64(1, "m")
+    rows = [
+        # user 1: two sessions (gap of 45 min between idx 2 and 3)
+        (0, 1, base + 0 * m, "view"),
+        (1, 1, base + 5 * m, "click"),
+        (2, 1, base + 10 * m, "view"),
+        (3, 1, base + 55 * m, "view"),
+        (4, 1, base + 57 * m, "click"),
+        # user 2: one session, no clicks
+        (5, 2, base + 1 * m, "view"),
+        (6, 2, base + 2 * m, "view"),
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_sessionize_gap_breaks(ray_session):
+    import ray.data as rd
+
+    out = (
+        events.sessionize(rd.from_arrow(_events_table()), "user_id", "ts", "event_id", 30)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert list(out.loc[[0, 1, 2, 3, 4], "session_seq"]) == [1, 1, 1, 2, 2]
+    assert list(out.loc[[5, 6], "session_seq"]) == [1, 1]
+    assert out.loc[3, "session_id"] == "1:2"
+
+
+def test_tumbling_window_agg(ray_session):
+    import ray.data as rd
+
+    out = events.tumbling_window_agg(
+        rd.from_arrow(_events_table()), "ts", window_minutes=10,
+        by="event_type", value_col="value",
+    ).to_pandas()
+    w0 = pd.Timestamp("2025-03-01T10:00:00")
+    row = out[(out.window_start == w0) & (out.event_type == "view")].iloc[0]
+    # events 0 (10:00 view) and 5,6 (user 2 views at 10:01/10:02) in window 0
+    assert row.n == 3 and row.sum_value == 0 + 5 + 6
+
+
+def test_last_event_before_as_of(ray_session):
+    import ray.data as rd
+
+    out = (
+        events.last_event_before(
+            rd.from_arrow(_events_table()), "user_id", "ts", "event_id",
+            "event_type", "click",
+        )
+        .to_pandas()
+        .set_index("event_id")
+    )
+    base = pd.Timestamp("2025-03-01T10:00:00")
+    # event 0: no prior click; 1: click itself → prior none; 2..4 see 10:05
+    assert pd.isna(out.loc[0, "last_ref_ts"])
+    assert pd.isna(out.loc[1, "last_ref_ts"])
+    assert out.loc[2, "last_ref_ts"] == base + pd.Timedelta(minutes=5)
+    assert out.loc[3, "last_ref_ts"] == base + pd.Timedelta(minutes=5)
+    assert out.loc[4, "last_ref_ts"] == base + pd.Timedelta(minutes=5)
+    # user 2 never clicked — a click from user 1 must NOT leak across users
+    assert pd.isna(out.loc[5, "last_ref_ts"]) and pd.isna(out.loc[6, "last_ref_ts"])
