@@ -218,11 +218,18 @@ def main() -> None:
         # efficiency on the headline linkage pipeline (canonicalize +
         # predict + cluster over the same input)
         eff = (r_lo["linkage_sec"] / r_hi["linkage_sec"]) / (hi / lo)
+        # per-stage view: the predict stage carries ~95% of the work at the
+        # dense density; fixed per-op latencies weigh the e2e ratio down
+        # (see BASELINE.md "Scaling decomposition")
+        pred_eff = (
+            r_hi["pairs_scored_per_sec"] / r_lo["pairs_scored_per_sec"]
+        ) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
+                    "predict_stage_efficiency": round(pred_eff, 3),
                     "unit": "ratio",
                     f"linkage_sec_{lo}": r_lo["linkage_sec"],
                     f"linkage_sec_{hi}": r_hi["linkage_sec"],

@@ -246,6 +246,17 @@ class _Visualisations:
 
         return waterfall_data(self._l.settings, gamma_row)
 
+    def comparison_viewer_data(self, df_predict=None, examples_per_pattern: int = 2):
+        from .pipelines.evaluation import comparison_viewer_data
+
+        preds = df_predict if df_predict is not None else self._l.last_predictions
+        return comparison_viewer_data(preds, self._l.settings, examples_per_pattern)
+
+    def parameter_estimate_comparisons(self):
+        from .pipelines.evaluation import parameter_estimate_comparisons
+
+        return parameter_estimate_comparisons(self._l.settings)
+
 
 class _Exploratory:
     def __init__(self, linker: "Linker"):

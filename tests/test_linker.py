@@ -196,3 +196,30 @@ def test_find_matches_cross_rule_exclusion(ray_session):
     assert len(out) == 3
     mk = dict(zip(out["unique_id_r"], out["match_key"]))
     assert mk == {"a": 0, "b": 0, "c": 1}
+
+
+def test_comparison_viewer_and_parameter_history(linker):
+    preds = linker.inference.predict()
+    cv = linker.visualisations.comparison_viewer_data(preds)
+    assert {"n", "mean_match_weight", "example"} <= set(cv.columns)
+    assert cv["n"].sum() == preds.count()
+    assert cv.iloc[0]["n"] >= cv.iloc[-1]["n"]  # sorted by pattern count
+    assert "|" in cv.iloc[0]["example"]
+
+    # EM session history feeds the parameter-estimate chart data
+    import copy
+
+    from splink_ray.blocking_rule_library import block_on
+    from splink_ray.pipelines.training import (
+        estimate_parameters_using_expectation_maximisation,
+    )
+
+    s = copy.deepcopy(linker.settings)
+    estimate_parameters_using_expectation_maximisation(
+        linker._records(), s, block_on("ts_day")
+    )
+    from splink_ray.pipelines.evaluation import parameter_estimate_comparisons
+
+    hist = parameter_estimate_comparisons(s)
+    assert len(hist) > 0
+    assert set(hist.estimate_session) == {0}
