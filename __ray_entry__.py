@@ -574,6 +574,56 @@ def q_link_only_pairs(sf_dir: str):
     return pairs.select_columns(["unique_id_l", "unique_id_r", "match_key"])
 
 
+def q_link_and_dedupe_pairs(sf_dir: str):
+    """M1+B2 link_and_dedupe: same two sources, but same-source pairs are
+    KEPT (within-source dedupe + cross-source link in one job)."""
+    from splink_ray.pipelines.predict import vertically_concatenate
+    from splink_ray.stages.blocking import generate_pairs
+
+    def _prep(ds, uid_col, prefix):
+        def _f(t: pa.Table, uid_col=uid_col, prefix=prefix) -> pa.Table:
+            uid = pa.compute.binary_join_element_wise(
+                pa.array([prefix] * len(t)), pa.compute.cast(t[uid_col], pa.string()), ""
+            )
+            return pa.table({"unique_id": uid, "nationkey": t["nationkey"]})
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    cust = _prep(
+        _ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]).rename_columns(
+            {"c_nationkey": "nationkey"}
+        ),
+        "c_custkey", "c",
+    )
+    supp = _prep(
+        _ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).rename_columns(
+            {"s_nationkey": "nationkey"}
+        ),
+        "s_suppkey", "s",
+    )
+    s = Settings(
+        link_type="link_and_dedupe",
+        blocking_rules_to_generate_predictions=[block_on("nationkey")],
+        retain_matching_columns=False,
+    )
+    records = vertically_concatenate({"customer": cust, "supplier": supp}, s)
+    pairs, _ = generate_pairs(records, s, analyze_skew=False, collect_metrics=False)
+    from ray.data.aggregate import Count
+
+    def _kind(t: pa.Table) -> pa.Table:
+        l = pa.compute.utf8_slice_codeunits(t["unique_id_l"], 0, 1)
+        r = pa.compute.utf8_slice_codeunits(t["unique_id_r"], 0, 1)
+        return pa.table(
+            {"kind": pa.compute.binary_join_element_wise(l, r, "")}
+        )
+
+    return (
+        pairs.map_batches(_kind, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_normalize_docs(sf_dir: str):
     """Corpus: text normalization (lowercase, whitespace collapse, strip)."""
     from splink_ray.stages.corpus import normalize_text
@@ -711,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_event_stats": q_window_event_stats,
         "last_click_before": q_last_click_before,
         "link_only_pairs": q_link_only_pairs,
+        "link_and_dedupe_pairs": q_link_and_dedupe_pairs,
         "normalize_docs": q_normalize_docs,
         "chunk_docs": q_chunk_docs,
         "top_bigrams": q_top_bigrams,
@@ -1055,6 +1106,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'c' || l.c_custkey AS unique_id_l, "
             "'s' || r.s_suppkey AS unique_id_r, 0 AS match_key "
             "FROM customer l JOIN supplier r ON l.c_nationkey = r.s_nationkey"
+        ),
+        "link_and_dedupe_pairs": (
+            # pair kinds by source prefix: cc (within customer), cs (cross),
+            # ss (within supplier) — all kept under link_and_dedupe
+            "WITH u AS (SELECT 'c' || c_custkey AS uid, c_nationkey AS nk FROM customer "
+            "UNION ALL SELECT 's' || s_suppkey, s_nationkey FROM supplier) "
+            "SELECT substr(l.uid, 1, 1) || substr(r.uid, 1, 1) AS kind, "
+            "count(*) AS n FROM u l JOIN u r ON l.nk = r.nk AND l.uid < r.uid "
+            "GROUP BY 1"
         ),
         "normalize_docs": (
             "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
