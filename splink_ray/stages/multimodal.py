@@ -5,14 +5,18 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with small batch sizes (large payloads → few rows per batch so a
 batch × concurrency fits worker heap — task brief).
 
-The image/audio codec libraries are NOT in this container, so the *codec*
-step is stubbed two ways (clearly marked):
+Codec status (``functions/codecs.py``):
 
-- ``strict=True`` → ``NotImplementedError`` naming the missing dependency;
-- default → a deterministic fake decoder over the repo's own synthetic
-  header format (first 8 bytes = width/height uint32-LE, rest = pixel bytes),
+- **REAL pure-numpy decode** for uncompressed formats: PPM/PGM (netpbm),
+  24-bit BI_RGB BMP, 16-bit PCM WAV — plus real nearest-neighbour resize
+  on the decoded pixels;
+- compressed formats (JPEG/PNG/…) raise ``UnsupportedFormat`` naming the
+  missing dependency (pillow) — ``strict=True`` surfaces it, the default
+  path skips the row with nulls;
+- the repo's synthetic header format (first 8 bytes = width/height
+  uint32-LE, rest = pixel bytes) remains supported for fixtures.
 
-while everything Ray-side — schema, batch sizing, actor signatures, output
+Everything Ray-side — schema, batch sizing, actor signatures, output
 layout, feature vectors usable by stages/ann.py — is real and tested.
 """
 
@@ -40,43 +44,51 @@ def synth_payload(media_id: int, width: int, height: int) -> bytes:
     return header + rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
 
 
-def _require_codec(kind: str):
-    raise NotImplementedError(
-        f"real {kind} decoding requires a codec library (pillow / torchaudio / "
-        "pyav) which is not installed in this environment; run with "
-        "strict=False for the deterministic fake-decode path"
-    )
-
-
 class ImageDecoder:
-    """Actor: payload → (width, height, mean_pixel). Fake-decode path parses
-    the synthetic header; strict path is the real-codec stub."""
+    """Actor: payload → (width, height, mean_pixel, format).
+
+    PPM/PGM/BMP decode for real (pure numpy); the synthetic header format
+    is parsed for fixtures; compressed formats raise under ``strict=True``
+    and yield null dimensions otherwise."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        if strict:
-            try:
-                import PIL  # noqa: F401
-            except ImportError:
-                _require_codec("image")
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
         payloads = t["payload"].to_pylist()
-        w = np.zeros(len(payloads), np.int32)
-        h = np.zeros(len(payloads), np.int32)
-        mean = np.zeros(len(payloads), np.float64)
+        n = len(payloads)
+        w = np.zeros(n, np.int32)
+        h = np.zeros(n, np.int32)
+        mean = np.zeros(n, np.float64)
+        fmt = np.empty(n, dtype=object)
         for i, p in enumerate(payloads):
             if p is None or len(p) < 8:
+                fmt[i] = "unknown"
                 continue
-            w[i] = int.from_bytes(p[0:4], "little")
-            h[i] = int.from_bytes(p[4:8], "little")
-            body = np.frombuffer(p, np.uint8, offset=8)
-            if len(body):
-                mean[i] = float(body.mean())
+            kind = codecs.sniff_format(p)
+            fmt[i] = kind
+            try:
+                img = codecs.decode_image(p)
+            except codecs.UnsupportedFormat:
+                if self.strict:
+                    raise
+                continue
+            if img is not None:
+                h[i], w[i] = img.shape[0], img.shape[1]
+                mean[i] = float(img.mean())
+            else:  # synthetic fixture header
+                w[i] = int.from_bytes(p[0:4], "little")
+                h[i] = int.from_bytes(p[4:8], "little")
+                body = np.frombuffer(p, np.uint8, offset=8)
+                if len(body):
+                    mean[i] = float(body.mean())
         return (
             t.append_column("width", pa.array(w))
             .append_column("height", pa.array(h))
             .append_column("mean_pixel", pa.array(mean))
+            .append_column("format", pa.array(fmt, pa.string()))
         )
 
 
@@ -101,20 +113,32 @@ class ImageFeatureExtractor:
 
 
 class ImageResizer:
-    """Actor stub: real resampling needs a codec; the fake path crops the
-    pixel buffer to the target size deterministically."""
+    """Actor: REAL nearest-neighbour resize for decodable formats
+    (PPM/PGM/BMP → resized PPM output); synthetic fixture payloads are
+    cropped/padded; compressed formats raise under ``strict=True``."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.w, self.h = width, height
-        if strict:
-            _require_codec("image")
+        self.strict = strict
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
         payloads = t["payload"].to_pylist()
         out = []
         for p in payloads:
             if p is None or len(p) < 8:
                 out.append(p)
+                continue
+            try:
+                img = codecs.decode_image(p)
+            except codecs.UnsupportedFormat:
+                if self.strict:
+                    raise
+                out.append(p)
+                continue
+            if img is not None:
+                out.append(codecs.encode_ppm(codecs.nn_resize(img, self.w, self.h)))
                 continue
             body = p[8 : 8 + self.w * self.h]
             body = body.ljust(self.w * self.h, b"\x00")
@@ -126,6 +150,56 @@ class ImageResizer:
         return t.set_column(
             t.column_names.index("payload"), "payload", pa.array(out, pa.binary())
         )
+
+
+class AudioFeatureExtractor:
+    """Actor: REAL audio features from PCM-16 WAV payloads (pure numpy
+    decode): duration_s, rms, zero-crossing rate, sample_rate. Non-WAV
+    payloads yield nulls (or raise under ``strict=True``)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        payloads = t["payload"].to_pylist()
+        n = len(payloads)
+        dur = np.full(n, np.nan)
+        rms = np.full(n, np.nan)
+        zcr = np.full(n, np.nan)
+        rate = np.zeros(n, np.int32)
+        for i, p in enumerate(payloads):
+            if p is None or codecs.sniff_format(p) != "wav":
+                if self.strict:
+                    raise codecs.UnsupportedFormat("payload is not PCM WAV")
+                continue
+            samples, sr = codecs.decode_wav(p)
+            mono = samples.astype(np.float64).mean(axis=1)
+            rate[i] = sr
+            dur[i] = len(mono) / sr if sr else np.nan
+            rms[i] = float(np.sqrt(np.mean(mono**2))) if len(mono) else np.nan
+            if len(mono) > 1:
+                zcr[i] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        return (
+            t.append_column("duration_s", pa.array(dur, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("zero_crossing_rate", pa.array(zcr, pa.float64()))
+            .append_column("sample_rate", pa.array(rate, pa.int32()))
+        )
+
+
+def extract_audio_features(ds, batch_size: int = 64, concurrency=None, strict: bool = False):
+    if concurrency is None:
+        concurrency = _pool()
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"strict": strict},
+    )
 
 
 def frame_sample(ds, every_n: int = 10, frame_bytes: int = 256, concurrency=(1, 4)):

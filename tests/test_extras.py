@@ -302,7 +302,16 @@ def test_multimodal_pipeline(ray_session):
     assert (frames.frame_idx % 2 == 0).all()
     assert all(len(p) == 100 for p in frames.payload)
 
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.ImageDecoder(strict=True)
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.ImageResizer(4, 4, strict=True)
+    # strict mode raises on payloads that genuinely need a codec library
+    # (compressed formats); uncompressed + synthetic payloads decode fine
+    fake_png = pa.table(
+        {
+            "media_id": ["x"],
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n" + b"\x00" * 16], pa.binary()),
+            "mime": ["image/png"], "meta": ["{}"],
+        }
+    )
+    with pytest.raises(Exception, match="pillow"):
+        multimodal.decode_images(rd.from_arrow(fake_png), strict=True).to_pandas()
+    strict_ok = multimodal.decode_images(ds, strict=True).to_pandas()
+    assert (strict_ok.width == 32).all()
