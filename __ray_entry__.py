@@ -30,6 +30,13 @@ from splink_ray import Settings, block_on, col
 import splink_ray.comparison_level_library as cll
 from splink_ray.settings import Comparison
 
+# committed fixed-seed signature fixtures (tools/make_fixtures.py): the
+# MinHash/SimHash/fingerprint oracles join these — valid at the driver's
+# sf0.01 comparison scale
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "fixtures")
+
 
 def _ds(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -249,6 +256,116 @@ def q_em_agreement_patterns(sf_dir: str):
     for c in ("gamma_c_name", "gamma_c_acctbal"):
         df[c] = df[c].astype("int32")  # engine int8 → oracle CASE int32
     return df
+
+
+def q_truth_space_customer(sf_dir: str):
+    """A2: threshold-sweep truth space (tp/fp/fn/tn + precision/recall/f1)
+    against deterministic synthetic labels over the blocked pairs, collapsed
+    to one row per distinct (rounded) match weight."""
+    from splink_ray.pipelines.evaluation import truth_space_table
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(pairs, s, concurrency=(1, 4))
+
+    def _lab(t: pa.Table) -> pa.Table:
+        kl = t["c_custkey_l"].to_numpy(zero_copy_only=False)
+        kr = t["c_custkey_r"].to_numpy(zero_copy_only=False)
+        y = ((kl + kr) % 3 == 0).astype(np.float64)
+        return pa.table(
+            {
+                "unique_id_l": t["c_custkey_l"],
+                "unique_id_r": t["c_custkey_r"],
+                "clerical_match_score": pa.array(y, pa.float64()),
+            }
+        )
+
+    labels = pairs.select_columns(["c_custkey_l", "c_custkey_r"]).map_batches(
+        _lab, batch_format="pyarrow"
+    )
+    ts = truth_space_table(scored, labels, uid="c_custkey")
+    ts["truth_threshold"] = ts["truth_threshold"].round(6)
+    g = ts.groupby("truth_threshold", as_index=False).agg(
+        tp=("tp", "max"), fp=("fp", "max"), fn=("fn", "min"), tn=("tn", "min")
+    )
+    p_total = (g["tp"] + g["fn"]).to_numpy()
+    tp, fp = g["tp"].to_numpy(), g["fp"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(tp + fp > 0, tp / (tp + fp), 0.0)
+        rec = np.where(p_total > 0, tp / np.maximum(p_total, 1), 0.0)
+        f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    g["precision"] = np.round(prec, 6)
+    g["recall"] = np.round(rec, 6)
+    g["f1"] = np.round(f1, 6)
+    for c in ("tp", "fp", "fn", "tn"):
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def q_exploding_pairs(sf_dir: str):
+    """B5: exploding blocking rule over a derived token-array column —
+    pair set equals the SQL UNNEST self-join with DISTINCT pair dedup."""
+    from splink_ray.blocking_rule_library import BlockingRule
+    from splink_ray.stages.blocking import generate_pairs
+    import pyarrow.compute as pc
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _arr(t: pa.Table) -> pa.Table:
+        toks = pc.list_slice(pc.split_pattern(t["text"], " "), 0, 3)
+        return pa.table({"unique_id": t["doc_id"], "toks": toks})
+
+    ds2 = docs.map_batches(_arr, batch_format="pyarrow")
+    s = Settings(
+        blocking_rules_to_generate_predictions=[
+            BlockingRule(["toks"], array_columns_to_explode=["toks"])
+        ]
+    )
+    pairs, _ = generate_pairs(ds2, s, analyze_skew=False, collect_metrics=False)
+    return pairs.select_columns(["unique_id_l", "unique_id_r", "match_key"])
+
+
+def q_estimate_u(sf_dir: str):
+    """E2: u probabilities from the deterministic md5 record sample (the
+    SQL-reproducible sampling mode of estimate_u_using_random_sampling)."""
+    from splink_ray.pipelines.training import estimate_u_using_random_sampling
+
+    s = _customer_settings()
+    estimate_u_using_random_sampling(
+        _ds(sf_dir, "customer"), s, max_pairs=2e4, sample_method="md5"
+    )
+    rows = []
+    for comp in s.comparisons:
+        for lv in comp.non_null_levels():
+            rows.append(
+                {
+                    "comparison": comp.output_column_name,
+                    "gamma": int(lv.comparison_vector_value),
+                    "u": round(float(lv.u_probability), 6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def q_find_matches_new(sf_dir: str):
+    """R1: block + score a 3-record batch against the corpus (broadcast
+    matcher pool, one corpus pass)."""
+    from splink_ray.pipelines.predict import find_matches_to_new_records
+
+    s = _customer_settings()
+    ds = _ds(sf_dir, "customer")
+    new_tbl = pa.Table.from_pandas(
+        ds.sort("c_custkey").limit(3).to_pandas(), preserve_index=False
+    )
+    out = find_matches_to_new_records(ds, new_tbl, s)
+    df = out.select_columns(
+        ["c_custkey_l", "c_custkey_r", "match_weight", "match_probability", "match_key"]
+    ).to_pandas()
+    return _round(df, {"match_weight": 6, "match_probability": 6})
 
 
 def q_deterministic_link_count(sf_dir: str):
@@ -743,6 +860,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_scores": q_predict_scores,
         "predict_threshold_count": q_predict_threshold_count,
         "em_agreement_patterns": q_em_agreement_patterns,
+        "truth_space_customer": q_truth_space_customer,
+        "exploding_pairs": q_exploding_pairs,
+        "estimate_u_md5": q_estimate_u,
+        "find_matches_new": q_find_matches_new,
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
         "clusters_distributed": q_clusters_distributed,
@@ -865,6 +986,39 @@ def _clean_corpus_sql() -> str:
         "SELECT min(doc_id) AS doc_id FROM feat "
         f"WHERE n_tok >= 5 AND punct <= 0.3 AND greatest({gmax}) > 0 AND {en_wins} "
         "GROUP BY md5(norm_text)"
+    )
+
+
+def _estimate_u_sql() -> str:
+    """E2 oracle: the same md5-cut record sample (printf('%08x') mirrors the
+    engine's ``format(cut, '08x')``), all sample pairs, per-level agreement
+    share with the engine's 1e-9 floor. Valid wherever the engine computes
+    frac < 1 (the driver's sf0.01: 1500 customers, frac ≈ 0.134)."""
+    s = _customer_settings()
+    m_target = int(np.ceil((2 * 2e4) ** 0.5)) + 1  # = engine with max_pairs=2e4
+    frac = f"least(1.0, {m_target}.0 / (SELECT count(*) FROM customer))"
+    cut = f"printf('%08x', CAST(floor({frac} * 4294967296) AS BIGINT))"
+    gamma_name = s.comparisons[0].gamma_case_sql()
+    gamma_bal = s.comparisons[1].gamma_case_sql()
+    parts = []
+    for comp, g in (("c_name", "g1"), ("c_acctbal", "g2")):
+        cobj = next(c for c in s.comparisons if c.output_column_name == comp)
+        for lv in cobj.non_null_levels():
+            k = lv.comparison_vector_value
+            parts.append(
+                f"SELECT '{comp}' AS comparison, {k} AS gamma, "
+                f"round(greatest(sum(CASE WHEN {g} = {k} THEN 1 ELSE 0 END)::DOUBLE "
+                f"/ nullif(sum(CASE WHEN {g} >= 0 THEN 1 ELSE 0 END), 0), 1e-9), 6) AS u "
+                "FROM g"
+            )
+    return (
+        f"WITH samp AS (SELECT * FROM customer WHERE {frac} >= 1.0 "
+        f"OR md5(CAST(c_custkey AS VARCHAR)) < {cut}), "
+        "p AS (SELECT l.c_name AS c_name_l, r.c_name AS c_name_r, "
+        "l.c_acctbal AS c_acctbal_l, r.c_acctbal AS c_acctbal_r "
+        "FROM samp l JOIN samp r ON l.c_custkey < r.c_custkey), "
+        f"g AS (SELECT {gamma_name} AS g1, {gamma_bal} AS g2 FROM p) "
+        + " UNION ALL ".join(parts)
     )
 
 
@@ -1016,6 +1170,58 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
             f"FROM ({pair_sub})) GROUP BY gamma_c_name, gamma_c_acctbal"
         ),
+        "truth_space_customer": (
+            # cumulative-by-weight sweep: default window frame (RANGE incl.
+            # peers) makes tied weights share their group-end counts, then
+            # the rounded-threshold GROUP BY collapses to one row per
+            # distinct threshold — same collapse as the Ray side
+            "WITH g AS (SELECT c_custkey_l, c_custkey_r, "
+            f"{weight} AS w, "
+            "CASE WHEN (c_custkey_l + c_custkey_r) % 3 = 0 THEN 1 ELSE 0 END AS y "
+            f"FROM (SELECT *, {gamma_name} AS gamma_c_name, "
+            f"{gamma_bal} AS gamma_c_acctbal FROM ({pair_sub}))), "
+            "tot AS (SELECT sum(y) AS p_total, count(*) - sum(y) AS n_total FROM g), "
+            "cum AS (SELECT round(w, 6) AS t, "
+            "sum(y) OVER (ORDER BY w DESC) AS tp, "
+            "sum(1 - y) OVER (ORDER BY w DESC) AS fp FROM g), "
+            "coll AS (SELECT t, max(tp) AS tp, max(fp) AS fp FROM cum GROUP BY t) "
+            "SELECT t AS truth_threshold, tp, fp, "
+            "(SELECT p_total FROM tot) - tp AS fn, "
+            "(SELECT n_total FROM tot) - fp AS tn, "
+            "round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0 END, 6) "
+            "AS \"precision\", "
+            "round(CASE WHEN (SELECT p_total FROM tot) > 0 "
+            "THEN tp::DOUBLE / (SELECT p_total FROM tot) ELSE 0 END, 6) AS recall, "
+            "round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0 END) "
+            "+ (CASE WHEN (SELECT p_total FROM tot) > 0 THEN tp::DOUBLE / (SELECT p_total FROM tot) ELSE 0 END) > 0 "
+            "THEN 2 * (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0 END) "
+            "* (CASE WHEN (SELECT p_total FROM tot) > 0 THEN tp::DOUBLE / (SELECT p_total FROM tot) ELSE 0 END) "
+            "/ ((CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0 END) "
+            "+ (CASE WHEN (SELECT p_total FROM tot) > 0 THEN tp::DOUBLE / (SELECT p_total FROM tot) ELSE 0 END)) "
+            "ELSE 0 END, 6) AS f1 "
+            "FROM coll"
+        ),
+        "exploding_pairs": (
+            "WITH w AS (SELECT doc_id, unnest(list_slice(str_split(text, ' '), 1, 3)) "
+            "AS tok FROM documents) "
+            "SELECT DISTINCT l.doc_id AS unique_id_l, r.doc_id AS unique_id_r, "
+            "0 AS match_key FROM w l JOIN w r ON l.tok = r.tok AND l.doc_id < r.doc_id"
+        ),
+        "estimate_u_md5": _estimate_u_sql(),
+        "find_matches_new": (
+            "WITH new AS (SELECT * FROM customer ORDER BY c_custkey LIMIT 3), "
+            "p AS (SELECT l.c_custkey AS c_custkey_l, r.c_custkey AS c_custkey_r, "
+            "l.c_name AS c_name_l, r.c_name AS c_name_r, "
+            "l.c_acctbal AS c_acctbal_l, r.c_acctbal AS c_acctbal_r "
+            "FROM new l JOIN customer r ON l.c_nationkey = r.c_nationkey "
+            "AND l.c_mktsegment = r.c_mktsegment) "
+            "SELECT c_custkey_l, c_custkey_r, round(w, 6) AS match_weight, "
+            "round(pow(2, w) / (1 + pow(2, w)), 6) AS match_probability, "
+            "0 AS match_key FROM ("
+            f"SELECT c_custkey_l, c_custkey_r, {weight} AS w FROM ("
+            f"SELECT *, {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
+            "FROM p))"
+        ),
         "deterministic_link_count": (
             "SELECT count(*) AS n FROM supplier l JOIN supplier r "
             "ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey"
@@ -1077,6 +1283,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "langid_docs": _langid_sql(),
+        "minhash_pairs": (
+            # LSH pairing logic re-implemented in SQL over the committed
+            # fixed-seed signature fixture: candidates share ≥1 band value,
+            # estimated jaccard = share of agreeing signature positions
+            # (the signing itself is pinned by the fixture + verified by the
+            # pytest brute-force oracle). Valid at sf0.01.
+            "WITH bands AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/minhash_bands_sf001.parquet')), "
+            "sig AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/minhash_sigpos_sf001.parquet')), "
+            "cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r "
+            "FROM bands l JOIN bands r ON l.band_idx = r.band_idx "
+            "AND l.band_val = r.band_val AND l.doc_id < r.doc_id), "
+            "est AS (SELECT c.id_l, c.id_r, "
+            "sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)::DOUBLE / count(*) AS e "
+            "FROM cand c JOIN sig a ON a.doc_id = c.id_l "
+            "JOIN sig b ON b.doc_id = c.id_r AND b.pos = a.pos "
+            "GROUP BY c.id_l, c.id_r) "
+            "SELECT id_l, id_r FROM est WHERE e >= 0.5"
+        ),
+        "simhash_pairs": (
+            # pigeonhole completeness: bands=4 > max_hamming=3, so the
+            # engine's banded candidates cover EVERY pair within hamming 3 —
+            # the oracle is the plain popcount self-join over the pinned
+            # signatures. Valid at sf0.01.
+            "WITH s AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/simhash_sf001.parquet')) "
+            "SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            "CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming "
+            "FROM s l JOIN s r ON l.doc_id < r.doc_id "
+            "WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"
+        ),
+        "fingerprint_docs": (
+            # golden winnowing fingerprints (fixed-seed, committed); the
+            # join keys the fixture to the live documents table
+            "SELECT d.doc_id, f.fp FROM documents d JOIN read_parquet("
+            f"'{_FIXTURE_DIR}/fingerprint_sf001.parquet') f ON d.doc_id = f.doc_id"
+        ),
         "sessionize_events": (
             "SELECT event_id, user_id, "
             "CAST(sum(brk) OVER w AS BIGINT) AS session_seq, "

@@ -24,9 +24,6 @@ from ..settings import Settings
 from ..stages.blocking import generate_pairs
 from ..stages.exchange import broadcast
 from ..stages.scoring import score_pairs
-from ..stages.tf import compute_tf_maps
-
-
 def vertically_concatenate(datasets: dict, settings: Settings):
     """M1: UNION ALL with an injected ``source_dataset`` literal per input.
 
@@ -76,9 +73,17 @@ def predict(
     if materialize_records and reads_records_twice:
         records_ds = records_ds.materialize()
     tf_refs = None
+    extra_cols = None
     if tf_cols:
-        maps = compute_tf_maps(records_ds, tf_cols)
+        from ..stages.tf import TF_FROM_COLUMNS, prepare_tf
+
+        records_ds, maps, join_cols = prepare_tf(
+            records_ds, tf_cols, settings.tf_broadcast_limit
+        )
         tf_refs = {c: broadcast(m) for c, m in maps.items()}
+        for c in join_cols:  # huge-cardinality: tf rides the pair columns
+            tf_refs[c] = TF_FROM_COLUMNS
+        extra_cols = [f"tf_{c}" for c in join_cols] or None
 
     fuse = not settings.retain_matching_columns and not any(
         r.is_exploding for r in settings.blocking_rules_to_generate_predictions
@@ -93,6 +98,7 @@ def predict(
             analyze_skew=analyze_skew,
             score_inline=True,
             tf_refs=tf_refs,
+            extra_record_cols=extra_cols,
         )
         if threshold_match_probability is not None:
             scored = scored.filter(expr=f"match_probability >= {threshold_match_probability}")
@@ -101,7 +107,8 @@ def predict(
         return scored, metrics
 
     pairs, metrics = generate_pairs(
-        records_ds, settings, num_buckets=num_buckets, analyze_skew=analyze_skew
+        records_ds, settings, num_buckets=num_buckets, analyze_skew=analyze_skew,
+        extra_record_cols=extra_cols,
     )
     scored = score_pairs(
         pairs,
@@ -146,9 +153,17 @@ def predict_to_partitioned(
 
     tf_cols = settings.tf_columns()
     tf_refs = None
+    extra_cols = None
     if tf_cols:
-        maps = compute_tf_maps(records_ds, tf_cols)
+        from ..stages.tf import TF_FROM_COLUMNS, prepare_tf
+
+        records_ds, maps, join_cols = prepare_tf(
+            records_ds, tf_cols, settings.tf_broadcast_limit
+        )
         tf_refs = {c: broadcast(m) for c, m in maps.items()}
+        for c in join_cols:
+            tf_refs[c] = TF_FROM_COLUMNS
+        extra_cols = [f"tf_{c}" for c in join_cols] or None
 
     stats_ds, metrics = generate_pairs(
         records_ds,
@@ -159,6 +174,7 @@ def predict_to_partitioned(
         tf_refs=tf_refs,
         sink_dir=scored_dir,
         sink_threshold=threshold_match_probability,
+        extra_record_cols=extra_cols,
     )
     stats = stats_ds.to_pandas()  # ≤ num_buckets rows
     scored = rd.read_parquet(scored_dir)

@@ -23,6 +23,7 @@ import copy
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..blocking_rule_library import BlockingRule, KeyFunctionRule
 from ..settings import Comparison, Settings
@@ -58,11 +59,27 @@ def estimate_probability_two_random_records_match(
 # ---------------------------------------------------------------------------
 
 
-def _deterministic_sample(records_ds, uid: str, frac: float):
+def _deterministic_sample(records_ds, uid: str, frac: float, method: str = "hash"):
     """Hash-based deterministic sample (independent of block layout/seed
-    plumbing — SURVEY.md §7.4 u-sampling watch item)."""
+    plumbing — SURVEY.md §7.4 u-sampling watch item).
+
+    ``method="md5"`` selects rows where ``md5(str(uid))`` is below the
+    fraction cut — slower (per-row digest) but reproducible in ANSI SQL
+    (``md5(CAST(uid AS VARCHAR)) < '<cut_hex>'``), which gives the E2
+    estimate an independent DuckDB oracle."""
     if frac >= 1.0:
         return records_ds
+    if method == "md5":
+        import hashlib
+
+        cut_hex = format(int(frac * 16**8), "08x")
+
+        def _f5(t: pa.Table) -> pa.Table:
+            vals = pc.cast(t[uid], pa.string()).to_pylist()
+            keep = [hashlib.md5(v.encode()).hexdigest() < cut_hex for v in vals]
+            return t.filter(pa.array(keep))
+
+        return records_ds.map_batches(_f5, batch_format="pyarrow")
     cut = int(frac * 1_000_000)
 
     def _f(t: pa.Table) -> pa.Table:
@@ -76,7 +93,8 @@ def _deterministic_sample(records_ds, uid: str, frac: float):
 
 
 def estimate_u_using_random_sampling(
-    records_ds, settings: Settings, max_pairs: float = 1e6
+    records_ds, settings: Settings, max_pairs: float = 1e6,
+    sample_method: str = "hash",
 ) -> None:
     """Random record pairs are almost surely non-matches ⇒ their gamma
     distribution estimates u. Updates ``settings`` in place (levels with
@@ -85,7 +103,7 @@ def estimate_u_using_random_sampling(
     n = records_ds.count()
     m_target = int(np.ceil((2 * max_pairs) ** 0.5)) + 1
     frac = min(1.0, m_target / max(n, 1))
-    sample = _deterministic_sample(records_ds, uid, frac)
+    sample = _deterministic_sample(records_ds, uid, frac, method=sample_method)
 
     # all-pairs over the sample: constant blocking key; the standard salting
     # machinery splits it if the sample exceeds the hot-key threshold

@@ -158,6 +158,10 @@ class Settings:
     target_rows_per_salted_block: int = 2000
     max_pairs_per_block: int | None = None  # cap; overflow logged to metrics
     use_duckdb_kernels: bool = True
+    # TF columns with more distinct values than this skip the driver-side
+    # broadcast dict (OOM hazard at ~10⁸ values) and attach tf_<col> to the
+    # records via a distributed join instead (SURVEY §2.7 T2 second mapping)
+    tf_broadcast_limit: int = 1_000_000
 
     def columns_needed(self) -> set[str]:
         cols = {self.unique_id_column_name}

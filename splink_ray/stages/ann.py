@@ -123,12 +123,30 @@ class IVFIndex:
         self.vec_col, self.id_col = vec_col, id_col
 
 
-def ivf_build(ds, vec_col: str, id_col: str, n_clusters: int = 16, sample_rows: int = 2000):
-    """Fit centroids on a deterministic head-sample, assign every vector to
-    its nearest centroid (one map pass), materialize the assigned set."""
+def ivf_build(
+    ds, vec_col: str, id_col: str, n_clusters: int = 16, sample_rows: int = 2000,
+    seed: int = 42,
+):
+    """Fit centroids on a seeded UNIFORM random sample (a ``limit()`` head
+    sample is whatever the first parquet files contain — at 100-TB scale
+    that is a biased sample and recall degrades silently; round-2 verdict
+    finding #5), assign every vector to its nearest centroid (one map pass),
+    materialize the assigned set."""
+    n = ds.count()
+    if n > sample_rows:
+        # oversample slightly so the post-limit keeps the target size even
+        # when the binomial draw lands low, then cap deterministically
+        frac = min(1.0, sample_rows * 1.3 / n)
+        sample_ds = ds.random_sample(frac, seed=seed).limit(sample_rows)
+    else:
+        sample_ds = ds
     sample = np.asarray(
-        ds.limit(sample_rows).to_pandas()[vec_col].tolist(), np.float64
+        sample_ds.select_columns([vec_col]).to_pandas()[vec_col].tolist(), np.float64
     )
+    if len(sample) == 0:  # degenerate tiny input: fall back to the head
+        sample = np.asarray(
+            ds.limit(sample_rows).to_pandas()[vec_col].tolist(), np.float64
+        )
     centroids = _kmeans(_normalize(sample), n_clusters)
     c_ref = broadcast(centroids)
 

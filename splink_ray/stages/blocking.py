@@ -572,7 +572,11 @@ def _fused_tf_maps(tf_refs):
     if key not in _TF_CACHE:
         import ray
 
-        _TF_CACHE[key] = {c: ray.get(ref) for c, ref in tf_refs.items()}
+        # string values are sentinels (tf.TF_FROM_COLUMNS), not object refs
+        _TF_CACHE[key] = {
+            c: (ref if isinstance(ref, str) else ray.get(ref))
+            for c, ref in tf_refs.items()
+        }
     return _TF_CACHE[key]
 
 
@@ -719,6 +723,7 @@ def generate_pairs(
     tf_refs: dict | None = None,
     sink_dir: str | None = None,
     sink_threshold: float | None = None,
+    extra_record_cols: list[str] | None = None,
 ):
     """Records Dataset → candidate-pair Dataset + blocking metrics.
 
@@ -748,6 +753,10 @@ def generate_pairs(
     validate_settings_against_dataset(settings, records_ds)
     uid = settings.unique_id_column_name
     out_cols = sorted(settings.columns_needed() - {uid})
+    # extra record columns to double into the pair table (e.g. join-attached
+    # tf_<col> for huge-cardinality TF — stages.tf.prepare_tf)
+    if extra_record_cols:
+        out_cols = sorted(set(out_cols) | set(extra_record_cols))
     # link jobs need the source column in the pair table for the
     # cross-source-only / both-kinds predicates
     if settings.link_type != "dedupe_only":
@@ -767,6 +776,8 @@ def generate_pairs(
         for c in settings.comparisons:
             comp_cols |= c.columns_used()
         comp_cols |= set(settings.additional_columns_to_retain)
+        if extra_record_cols:
+            comp_cols |= set(extra_record_cols)
         if settings.link_type != "dedupe_only":
             comp_cols.add(settings.source_dataset_column_name)
         score_cols = sorted(comp_cols - {uid})
@@ -985,7 +996,7 @@ def generate_pairs(
 
         def _mk(rule_idx, earlier_bks):
             def _pg(t: pa.Table) -> pa.Table:
-                return _pairgen_bucket(
+                out = _pairgen_bucket(
                     t,
                     rule_idx,
                     uid,
@@ -995,6 +1006,10 @@ def generate_pairs(
                     settings.link_type,
                     settings.source_dataset_column_name,
                 )
+                # exploded records appear once per array element: two copies
+                # of the SAME record can land in one block (repeated element)
+                # — drop the self-pairs the row-position triangle emits
+                return out.filter(pc.not_equal(out[f"{uid}_l"], out[f"{uid}_r"]))
 
             return _pg
 
@@ -1013,7 +1028,9 @@ def dedupe_pairs(pairs_ds, uid: str, num_buckets: int | None = None):
     """Exact pair-id dedup for exploding rules (B5): keep first by match_key."""
 
     def _first(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t[f"{uid}_l"], t[f"{uid}_r"], "\x1f")
+        key = pc.binary_join_element_wise(
+            pc.cast(t[f"{uid}_l"], pa.string()), pc.cast(t[f"{uid}_r"], pa.string()), "\x1f"
+        )
         t = t.append_column("__pair", key)
         t = t.sort_by([("__pair", "ascending"), (MATCH_KEY_COL, "ascending")])
         p = np.asarray(t["__pair"].to_pylist(), dtype=object)
@@ -1024,7 +1041,9 @@ def dedupe_pairs(pairs_ds, uid: str, num_buckets: int | None = None):
         return t.filter(pa.array(keep)).drop_columns(["__pair"])
 
     def _key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t[f"{uid}_l"], t[f"{uid}_r"], "\x1f")
+        key = pc.binary_join_element_wise(
+            pc.cast(t[f"{uid}_l"], pa.string()), pc.cast(t[f"{uid}_r"], pa.string()), "\x1f"
+        )
         return t.append_column("__pairkey", key)
 
     ds = pairs_ds.map_batches(_key, batch_format="pyarrow")

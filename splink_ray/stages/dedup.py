@@ -356,16 +356,10 @@ def simhash_pairs(
 
 
 
-def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
-    """Exact whitespace-token-set jaccard with per-BATCH memoized token
-    sets: each document appears in many candidate pairs, so tokenizing
-    per pair (what plain jaccard_tokens does) re-pays the split+hash cost
-    ~pairs/docs times. (A DuckDB list-ops rendering was tried and measured
-    40× SLOWER than the python set loop — list materialization per row.)"""
-    if isinstance(l_arr, pa.ChunkedArray):
-        l_arr = l_arr.combine_chunks()
-    if isinstance(r_arr, pa.ChunkedArray):
-        r_arr = r_arr.combine_chunks()
+def _jaccard_tokens_loop(l_arr, r_arr) -> np.ndarray:
+    """Per-pair python-set jaccard with per-BATCH memoized token sets —
+    fallback / tiny-batch path (kept as the reference implementation the
+    vectorized version is property-tested against)."""
     a = l_arr.to_pylist()
     b = r_arr.to_pylist()
     cache: dict = {}
@@ -383,6 +377,103 @@ def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
         union = len(sx) + len(sy) - inter
         out[i] = (inter / union) if union else 1.0
     return out
+
+
+# reused scratch buffers: fresh large allocations on this class of box pay
+# first-touch page faults costlier than the compute (see BASELINE.md round-2
+# environment note) — the jaccard verify stage runs per batch, so its big
+# intermediates live in process-level buffers grown once
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, size: int) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size:
+        _SCRATCH[name] = buf = np.empty(int(size * 1.3) + 16, np.int64)
+    return buf[:size]
+
+
+def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
+    """Exact whitespace-token-set jaccard, vectorized (round-2 verdict #9).
+
+    Each DISTINCT document is tokenized once (dictionary-encode both sides);
+    token sets become sorted int-id segments of one flat array; per-pair
+    intersection sizes come from one ``searchsorted`` over composite
+    ``pair_idx * n_tokens + token_id`` keys — no per-pair Python set ops.
+    (A DuckDB list-ops rendering was tried and measured 40× SLOWER than even
+    the python set loop — list materialization per row.)"""
+    if isinstance(l_arr, pa.ChunkedArray):
+        l_arr = l_arr.combine_chunks()
+    if isinstance(r_arr, pa.ChunkedArray):
+        r_arr = r_arr.combine_chunks()
+    n_pairs = len(l_arr)
+    if n_pairs == 0:
+        return np.empty(0, np.float64)
+    if n_pairs < 64:
+        return _jaccard_tokens_loop(l_arr, r_arr)
+
+    enc = pc.fill_null(
+        pa.chunked_array([l_arr, r_arr]).combine_chunks(), ""
+    ).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    l_codes, r_codes = codes[:n_pairs], codes[n_pairs:]
+
+    # tokenize each distinct text once → sorted unique token-id segment
+    tok_ids: dict = {}
+    segs: list[np.ndarray] = []
+    for txt in enc.dictionary.to_pylist():
+        toks = {tok_ids.setdefault(tk, len(tok_ids)) for tk in (txt or "").split()}
+        seg = np.fromiter(toks, np.int64, len(toks))
+        seg.sort()
+        segs.append(seg)
+    seg_len = np.fromiter((len(s) for s in segs), np.int64, len(segs))
+    seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1])) if segs else np.empty(0, np.int64)
+    flat = np.concatenate(segs) if segs else np.empty(0, np.int64)
+    T = np.int64(max(len(tok_ids), 1))
+
+    def side_keys(side_codes: np.ndarray, side: str) -> np.ndarray:
+        st0, ln0 = seg_start[side_codes], seg_len[side_codes]
+        nz = ln0 > 0
+        if not nz.any():
+            return np.empty(0, np.int64)
+        st, ln = st0[nz], ln0[nz]
+        pair_ids = np.flatnonzero(nz)
+        total = int(ln.sum())
+        off = np.cumsum(ln)  # exclusive offsets are off shifted right
+        # variable-length segment gather via cumsum-of-deltas, in reused
+        # scratch (no fresh page-faulting allocations in steady state)
+        idx = _scratch(side + "i", total)
+        idx.fill(1)
+        idx[0] = st[0]
+        if len(st) > 1:
+            idx[off[:-1]] = st[1:] - (st[:-1] + ln[:-1]) + 1
+        np.cumsum(idx, out=idx)
+        keys = _scratch(side + "k", total)
+        np.take(flat, idx, out=keys)
+        # add pair_id * T (same delta-cumsum trick for the repeat)
+        pid = _scratch(side + "p", total)
+        pid.fill(0)
+        pid[0] = pair_ids[0]
+        if len(pair_ids) > 1:
+            pid[off[:-1]] = np.diff(pair_ids)
+        np.cumsum(pid, out=pid)
+        np.multiply(pid, T, out=pid)
+        keys += pid
+        # sorted globally: pair ids ascending, token ids sorted within each
+        return keys
+
+    keys_l = side_keys(l_codes, "l")
+    keys_r = side_keys(r_codes, "r")
+    if len(keys_l) and len(keys_r):
+        pos = np.searchsorted(keys_r, keys_l)
+        pos_c = np.minimum(pos, len(keys_r) - 1)
+        hit = keys_r[pos_c] == keys_l
+        inter = np.bincount((keys_l[hit] // T), minlength=n_pairs).astype(np.int64)
+    else:
+        inter = np.zeros(n_pairs, np.int64)
+    size_l, size_r = seg_len[l_codes], seg_len[r_codes]
+    union = size_l + size_r - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def _ngram_jaccard_grouped(ds, text_col, id_col, threshold, key, num_buckets):

@@ -25,10 +25,19 @@ from ..settings import Settings, make_eval_context
 
 
 def _tf_lookup(tf_maps: dict, pairs: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+    from .tf import TF_FROM_COLUMNS
+
     m = tf_maps.get(column)
     if m is None:
         n = len(pairs)
         return np.full(n, np.nan), np.full(n, np.nan)
+    if isinstance(m, str) and m == TF_FROM_COLUMNS:
+        # huge-cardinality column: tf was attached to the records by a
+        # distributed join (stages.tf.prepare_tf) and doubled into the pair
+        # table — read it instead of a driver-built dict
+        tl = pairs[f"tf_{column}_l"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tr = pairs[f"tf_{column}_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return tl, tr
     tl = pd.Series(pairs[f"{column}_l"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
     tr = pd.Series(pairs[f"{column}_r"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
     return tl, tr
@@ -73,6 +82,8 @@ def score_pair_batch(
         # reference parity: the tf_<col>_l / tf_<col>_r columns users of
         # splink's __splink__df_concat_with_tf inspect (SURVEY §2.7)
         for col, (tl, tr) in tf_value_cols.items():
+            if f"tf_{col}_l" in out.column_names:
+                continue  # already doubled from join-attached records
             out = out.append_column(f"tf_{col}_l", pa.array(tl, pa.float64()))
             out = out.append_column(f"tf_{col}_r", pa.array(tr, pa.float64()))
     if compute_score:
@@ -101,7 +112,11 @@ class GammaScorer:
         if tf_refs:
             import ray
 
-            self.tf_maps = {c: ray.get(ref) for c, ref in tf_refs.items()}
+            # string values are sentinels (TF_FROM_COLUMNS), not object refs
+            self.tf_maps = {
+                c: (ref if isinstance(ref, str) else ray.get(ref))
+                for c, ref in tf_refs.items()
+            }
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
         return score_pair_batch(

