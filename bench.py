@@ -10,10 +10,16 @@ prints ONE JSON line::
      "queries": {...}, "sf": ..., "num_cpus": N,
      "pairs_scored": P, "pairs_scored_per_sec": R, "turns": T}
 
+The recorded number is a MEDIAN: one untimed warmup linkage run, then
+``$BENCH_RUNS`` (default 3) timed runs, per-stage medians (this box swings
+±15% on identical code — BASELINE.md round-2 environment note — so a single
+draw is not a measurement). Per-run linkage times are included in the JSON.
+
 ``--scaling`` mode: runs the identical job in two fresh processes at
 num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input and
 prints both times + scaling efficiency = (T8/T32)/4 — the sandbox substitute
-for the N-vs-4N-node cluster criterion (SURVEY.md §4.2.5).
+for the N-vs-4N-node cluster criterion (SURVEY.md §4.2.5). Scaling legs use
+BENCH_RUNS=1 (wall-clock bounded); run the mode twice for two series.
 
 The transcript fixture is generated once (vectorized, seed-fixed) and cached
 under /tmp/splink_ray_bench; generation is never timed.
@@ -23,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -68,6 +75,104 @@ def ensure_fixture(turns: int) -> str:
     return path
 
 
+def run_linkage(fixture: str, out_dir: str, turns: int) -> tuple[dict, dict]:
+    """One full linkage: canonicalize → predict (bucket sink + clustering
+    edge sidecar) → connected components. Returns (timings, extras)."""
+    import shutil
+
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+    )
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.pipelines.predict import predict_to_partitioned
+    from splink_ray.stages.canonicalize import canonicalize
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    # ---- q1: canonicalize -------------------------------------------------
+    t0 = time.time()
+    records = canonicalize(rd.read_parquet(fixture))
+    records.write_parquet(os.path.join(out_dir, "records"))
+    timings["canonicalize"] = round(time.time() - t0, 2)
+    records = rd.read_parquet(os.path.join(out_dir, "records"))
+    n_records = records.count()
+    extras["records"] = n_records
+    extras["turns_canonicalized_per_sec"] = round(turns / timings["canonicalize"])
+
+    # ---- q2: predict (salted pairgen + fused gamma/FS scoring, written as
+    # resumable per-bucket partitions; the clustering edge list is extracted
+    # as a sidecar while the scored chunks are in hand — no re-scan) --------
+    settings = transcript_settings()
+    settings.hot_key_threshold = int(os.environ.get("BENCH_HOT", "1200"))
+    settings.target_rows_per_salted_block = int(os.environ.get("BENCH_SALT_TARGET", "600"))
+    scored_dir = os.path.join(out_dir, "scored")
+    edge_dir = os.path.join(out_dir, "edges")
+    t0 = time.time()
+    scored, metrics, stats = predict_to_partitioned(
+        records, settings, scored_dir, edge_dir=edge_dir, edge_threshold=0.9
+    )
+    timings["predict"] = round(time.time() - t0, 2)
+    pairs_scored = int(stats.loc[~stats["skipped"], "rows"].sum())
+    extras["pairs_scored"] = pairs_scored
+    extras["pairs_scored_per_sec"] = round(pairs_scored / timings["predict"])
+    extras["blocking"] = metrics["rules"]
+
+    # ---- q3: cluster (reads the narrow pre-thresholded edge sidecar) ------
+    t0 = time.time()
+    edges = rd.read_parquet(edge_dir)
+    clustered, cinfo = cluster_pairwise_predictions_at_threshold(
+        records, edges, threshold_match_probability=None
+    )
+    clustered.count()
+    timings["cluster"] = round(time.time() - t0, 2)
+    extras["clustering"] = cinfo
+    return timings, extras
+
+
+def run_corpus_ops(sf_dir: str) -> tuple[dict, dict]:
+    """Corpus operators over the driver testdata (q4–q6)."""
+    import numpy as np
+    import ray.data as rd
+
+    from splink_ray.stages.ann import knn_brute_force
+    from splink_ray.stages.dedup import minhash_lsh_pairs
+    from splink_ray.stages.tf import term_frequency_table
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    t0 = time.time()
+    term_frequency_table(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]),
+        "c_mktsegment",
+    )
+    timings["tf"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    extras["minhash_pairs"] = minhash_lsh_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "text",
+        "doc_id",
+        threshold=0.5,
+    ).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 2)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.limit(8).to_pandas()
+    t0 = time.time()
+    knn_brute_force(
+        emb, "embedding", "vec_id",
+        np.asarray(head.embedding.tolist(), np.float64),
+        head.vec_id.tolist(), k=10,
+    ).count()
+    timings["knn"] = round(time.time() - t0, 2)
+    return timings, extras
+
+
 def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
     import ray
 
@@ -86,91 +191,39 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from splink_ray.pipelines.clustering import (
-        cluster_pairwise_predictions_at_threshold,
-    )
-    from splink_ray.pipelines.flagship import transcript_settings
-    from splink_ray.pipelines.predict import predict
-    from splink_ray.stages.canonicalize import canonicalize
-
-    timings: dict[str, float] = {}
-    extras: dict = {"turns": turns}
     out_dir = os.path.join(OUT_BASE, f"out_{num_cpus}")
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
 
     # warm the page cache (untimed) so both CPU levels measure compute+shuffle
     rd.read_parquet(fixture).count()
 
-    # ---- q1: canonicalize -------------------------------------------------
-    t0 = time.time()
-    records = canonicalize(rd.read_parquet(fixture))
-    records.write_parquet(os.path.join(out_dir, "records"))
-    timings["canonicalize"] = round(time.time() - t0, 2)
-    records = rd.read_parquet(os.path.join(out_dir, "records"))
-    n_records = records.count()
-    extras["records"] = n_records
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    if runs > 1:
+        # one full untimed warmup linkage: spins worker processes, allocator
+        # arenas, and the kernel page pool before any timed sample
+        run_linkage(fixture, out_dir, turns)
+
+    linkage_samples: list[tuple[dict, dict]] = []
+    for _ in range(runs):
+        linkage_samples.append(run_linkage(fixture, out_dir, turns))
+    corpus_samples = [run_corpus_ops(sf_dir) for _ in range(runs)]
+
+    def med(samples, key) -> float:
+        return round(statistics.median(s[0][key] for s in samples), 2)
+
+    timings = {k: med(linkage_samples, k) for k in ("canonicalize", "predict", "cluster")}
+    timings |= {k: med(corpus_samples, k) for k in ("tf", "minhash_dedup", "knn")}
+    extras = {"turns": turns, **linkage_samples[-1][1], **corpus_samples[-1][1]}
     extras["turns_canonicalized_per_sec"] = round(turns / timings["canonicalize"])
-
-    # ---- q2: predict (blocking + salted pairgen + fused gamma/FS score) ---
-    settings = transcript_settings()
-    settings.hot_key_threshold = int(os.environ.get("BENCH_HOT", "1200"))
-    settings.target_rows_per_salted_block = int(os.environ.get("BENCH_SALT_TARGET", "600"))
-    t0 = time.time()
-    scored, metrics = predict(records, settings, materialize_records=True)
-    scored.write_parquet(os.path.join(out_dir, "scored"))
-    timings["predict"] = round(time.time() - t0, 2)
-    scored = rd.read_parquet(os.path.join(out_dir, "scored"))
-    pairs_scored = scored.count()
-    extras["pairs_scored"] = pairs_scored
-    extras["pairs_scored_per_sec"] = round(pairs_scored / timings["predict"])
-    extras["blocking"] = metrics["rules"]
-
-    # ---- q3: cluster ------------------------------------------------------
-    t0 = time.time()
-    clustered, cinfo = cluster_pairwise_predictions_at_threshold(
-        records, scored, 0.9
-    )
-    n_clustered = clustered.count()
-    timings["cluster"] = round(time.time() - t0, 2)
-    extras["clustering"] = cinfo
-
-    # ---- q4-q6: corpus operators over the driver testdata -----------------
-    from splink_ray.stages.dedup import minhash_lsh_pairs
-    from splink_ray.stages.tf import term_frequency_table
-
-    t0 = time.time()
-    term_frequency_table(
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]),
-        "c_mktsegment",
-    )
-    timings["tf"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    n_dup_pairs = minhash_lsh_pairs(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
-        "text",
-        "doc_id",
-        threshold=0.5,
-    ).count()
-    timings["minhash_dedup"] = round(time.time() - t0, 2)
-    extras["minhash_pairs"] = n_dup_pairs
-
-    import numpy as np
-
-    from splink_ray.stages.ann import knn_brute_force
-
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    head = emb.limit(8).to_pandas()
-    t0 = time.time()
-    knn_brute_force(
-        emb, "embedding", "vec_id",
-        np.asarray(head.embedding.tolist(), np.float64),
-        head.vec_id.tolist(), k=10,
-    ).count()
-    timings["knn"] = round(time.time() - t0, 2)
+    extras["pairs_scored_per_sec"] = round(extras["pairs_scored"] / timings["predict"])
+    per_run = [
+        round(s[0]["canonicalize"] + s[0]["predict"] + s[0]["cluster"], 2)
+        for s in linkage_samples
+    ]
+    extras["linkage_runs"] = per_run
+    extras["bench_runs"] = runs
+    if runs > 1:
+        spread = (max(per_run) - min(per_run)) / max(min(per_run), 1e-9)
+        extras["linkage_run_spread"] = round(spread, 3)
 
     ray.shutdown()
 
@@ -198,12 +251,14 @@ def main() -> None:
         # scaling evidence defaults to the AMORTIZED configuration (4M turns
         # at default density): per-op fixed latencies are noise there, so the
         # ratio measures the pipeline, not the ~1-3 s/op session constants
-        # (measured 0.70 e2e / 0.78 predict-stage vs 0.63 at 1M turns;
-        # BASELINE.md). Override with BENCH_TURNS / BENCH_EPD.
+        # (BASELINE.md "Scaling decomposition"). Override with BENCH_TURNS /
+        # BENCH_EPD. One timed run per leg (BENCH_RUNS=1): a leg takes
+        # minutes, and the two legs see identical box state back-to-back.
         if "BENCH_TURNS" not in os.environ:
             turns = 4_000_000
         os.environ.setdefault("BENCH_EPD", "1000")
         os.environ["BENCH_TURNS"] = str(turns)
+        os.environ.setdefault("BENCH_RUNS", "1")
         ensure_fixture(turns)  # generate + warm once, outside both timings
 
         def run(ncpu: int) -> dict:

@@ -127,6 +127,8 @@ def predict_to_partitioned(
     threshold_match_probability: float | None = None,
     num_buckets: int | None = None,
     analyze_skew: bool = True,
+    edge_dir: str | None = None,
+    edge_threshold: float | None = None,
 ):
     """Fused predict whose output is written as one parquet partition PER
     BUCKET (``{scored_dir}/bucket-<id>/`` with atomic tmp+rename and a
@@ -175,6 +177,8 @@ def predict_to_partitioned(
         sink_dir=scored_dir,
         sink_threshold=threshold_match_probability,
         extra_record_cols=extra_cols,
+        edge_dir=edge_dir,
+        edge_threshold=edge_threshold,
     )
     stats = stats_ds.to_pandas()  # ≤ num_buckets rows
     scored = rd.read_parquet(scored_dir)

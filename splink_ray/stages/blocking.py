@@ -333,21 +333,22 @@ def _pairgen_bucket_multi(
     Vectorized index build + per-rule ``take``; no per-row python in the
     emit path."""
     t = tbl.sort_by([(PG_COL, "ascending"), (uid_col, "ascending")])
-    pg = np.asarray(t[PG_COL].to_pylist(), dtype=object)
+    pg_arr = t[PG_COL].combine_chunks() if isinstance(t[PG_COL], pa.ChunkedArray) else t[PG_COL]
     salt = t[SALT_COL].to_numpy(zero_copy_only=False)
     rule_arr = t[RULE_COL].to_numpy(zero_copy_only=False)
 
-    change = np.empty(len(pg), bool)
-    if len(pg):
-        change[0] = True
-        change[1:] = pg[1:] != pg[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(pg))
+    from .exchange import group_starts
+
+    starts = group_starts(pg_arr)
+    ends = np.append(starts[1:], len(pg_arr))
+    # only GROUP-START labels are parsed (salt-slot suffix) — O(groups)
+    # python, not O(rows)
+    start_labels = pg_arr.take(pa.array(starts)).to_pylist() if len(starts) else []
 
     by_rule_li: dict[int, list[np.ndarray]] = {}
     by_rule_ri: dict[int, list[np.ndarray]] = {}
-    for s, e in zip(starts, ends):
-        label = pg[s]
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        label = start_labels[gi]
         if "\x1e" in label:
             s1s2 = label.rsplit("\x1e", 1)[1]
             s1, s2 = (int(x) for x in s1s2.split("_"))
@@ -437,45 +438,74 @@ class _MultiSaltExpander:
         return _fetch_broadcast(self.hot_ref) or {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from .exchange import hash_values
+
         parts = []
         for i in self.rule_idxs:
             key_c = bk_col(i)
             sub = t.filter(pc.is_valid(t[key_c]))
             if len(sub) == 0:
                 continue
-            keys = np.asarray(sub[key_c].to_pylist(), dtype=object)
-            labels_base = np.char.add(f"{i}\x1d", keys.astype(str))
+            karr = sub[key_c]
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
+            # rule-prefixed group labels, fully in Arrow (no Python-object
+            # boxing of O(records) key strings)
+            labels_all = pc.binary_join_element_wise(
+                pa.scalar(f"{i}\x1d"), karr, ""
+            )
             hot = self.hot.get(i) or {}
             default_p = hot.get("*", 1)
             if not hot or (default_p == 1 and not any(v > 1 for v in hot.values())):
-                part = sub.append_column(PG_COL, pa.array(labels_base, pa.string()))
+                part = sub.append_column(PG_COL, labels_all)
                 part = part.append_column(SALT_COL, pa.array(np.zeros(len(sub), np.int32)))
                 parts.append(part.append_column(RULE_COL, pa.array(np.full(len(sub), i, np.int32))))
                 continue
-            ps = np.fromiter((hot.get(k, default_p) for k in keys), np.int64, len(keys))
+            # per-row salt-partition counts via dictionary-encode: the hot
+            # map is consulted once per DISTINCT key (small), then fanned out
+            # with one vectorized take
+            enc = karr.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            p_per_uniq = np.fromiter(
+                (hot.get(k, default_p) for k in uniq), np.int64, len(uniq)
+            )
+            ps = p_per_uniq[enc.indices.to_numpy(zero_copy_only=False)]
             plain = ps == 1
             if plain.any():
-                tp = sub.filter(pa.array(plain))
-                part = tp.append_column(PG_COL, pa.array(labels_base[plain], pa.string()))
+                mask = pa.array(plain)
+                tp = sub.filter(mask)
+                part = tp.append_column(PG_COL, labels_all.filter(mask))
                 part = part.append_column(SALT_COL, pa.array(np.zeros(int(plain.sum()), np.int32)))
                 parts.append(part.append_column(RULE_COL, pa.array(np.full(len(tp), i, np.int32))))
             hot_idx = np.flatnonzero(~plain)
             if hot_idx.size:
-                uids = np.asarray(sub[self.uid_col].to_pylist(), dtype=object)[hot_idx]
+                p_hot = ps[hot_idx]
+                uid_arr = sub[self.uid_col]
+                if isinstance(uid_arr, pa.ChunkedArray):
+                    uid_arr = uid_arr.combine_chunks()
                 salts = (
-                    pd.util.hash_array(uids, categorize=False)
-                    % ps[hot_idx].astype(np.uint64)
+                    hash_values(uid_arr.take(pa.array(hot_idx)))
+                    % p_hot.astype(np.uint64)
                 ).astype(np.int64)
-                rep_rows, labels, rep_salts = [], [], []
-                for row, base, p, s in zip(hot_idx, labels_base[hot_idx], ps[hot_idx], salts):
-                    for other in range(p):
-                        a, b = (s, other) if s <= other else (other, s)
-                        rep_rows.append(row)
-                        labels.append(f"{base}\x1e{a}_{b}")
-                        rep_salts.append(s)
-                th = sub.take(pa.array(np.asarray(rep_rows)))
-                part = th.append_column(PG_COL, pa.array(labels, pa.string()))
-                part = part.append_column(SALT_COL, pa.array(np.asarray(rep_salts, np.int32)))
+                # vectorized slot expansion: row r replicates into p_r rows,
+                # one per unordered slot-pair {(min(s,o), max(s,o))}
+                rep_rows = np.repeat(hot_idx, p_hot)
+                total = int(p_hot.sum())
+                off = np.concatenate(([0], np.cumsum(p_hot)[:-1]))
+                other = np.arange(total, dtype=np.int64) - np.repeat(off, p_hot)
+                s_rep = np.repeat(salts, p_hot)
+                a = np.minimum(s_rep, other)
+                b = np.maximum(s_rep, other)
+                base_rep = labels_all.take(pa.array(rep_rows))
+                ab = pc.binary_join_element_wise(
+                    pc.cast(pa.array(a), pa.string()),
+                    pc.cast(pa.array(b), pa.string()),
+                    "_",
+                )
+                lab = pc.binary_join_element_wise(base_rep, ab, "\x1e")
+                th = sub.take(pa.array(rep_rows))
+                part = th.append_column(PG_COL, lab)
+                part = part.append_column(SALT_COL, pa.array(s_rep.astype(np.int32)))
                 parts.append(part.append_column(RULE_COL, pa.array(np.full(len(th), i, np.int32))))
         if not parts:
             out = t.slice(0, 0)
@@ -636,22 +666,23 @@ def _pairgen_score_stream(
     source_col = settings.source_dataset_column_name
 
     t = tbl.sort_by([(PG_COL, "ascending"), (uid_col, "ascending")])
-    pg = np.asarray(t[PG_COL].to_pylist(), dtype=object)
-    if len(pg) == 0:
+    pg_arr = t[PG_COL].combine_chunks() if isinstance(t[PG_COL], pa.ChunkedArray) else t[PG_COL]
+    if len(pg_arr) == 0:
         return
     salt = t[SALT_COL].to_numpy(zero_copy_only=False)
     rule_arr = t[RULE_COL].to_numpy(zero_copy_only=False)
 
-    change = np.empty(len(pg), bool)
-    change[0] = True
-    change[1:] = pg[1:] != pg[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(pg))
+    from .exchange import group_starts
+
+    starts = group_starts(pg_arr)
+    ends = np.append(starts[1:], len(pg_arr))
+    # group-START labels only (salt-slot suffix parse) — O(groups) python
+    start_labels = pg_arr.take(pa.array(starts)).to_pylist()
 
     by_rule_li: dict[int, list[np.ndarray]] = {}
     by_rule_ri: dict[int, list[np.ndarray]] = {}
-    for s, e in zip(starts, ends):
-        label = pg[s]
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        label = start_labels[gi]
         if "\x1e" in label:
             s1s2 = label.rsplit("\x1e", 1)[1]
             s1, s2 = (int(x) for x in s1s2.split("_"))
@@ -724,6 +755,8 @@ def generate_pairs(
     sink_dir: str | None = None,
     sink_threshold: float | None = None,
     extra_record_cols: list[str] | None = None,
+    edge_dir: str | None = None,
+    edge_threshold: float | None = None,
 ):
     """Records Dataset → candidate-pair Dataset + blocking metrics.
 
@@ -740,7 +773,14 @@ def generate_pairs(
     (atomic tmp+rename, ``_DONE`` marker) and emits one stats row instead of
     data; buckets whose ``_DONE`` already exists are skipped WITHOUT
     rescoring (north_rule: a killed predict resumes at bucket granularity).
-    ``sink_threshold`` filters match_probability before writing."""
+    ``sink_threshold`` filters match_probability before writing.
+
+    ``edge_dir``/``edge_threshold`` (sink mode only): each bucket ALSO writes
+    the narrow clustering edge list (uid_l, uid_r, match_probability ≥
+    edge_threshold) as ``{edge_dir}/bucket-<id>.parquet`` while the scored
+    chunks are in hand — the downstream connected-components stage reads the
+    tiny sidecar instead of re-scanning the full scored table (a fixed
+    re-read that does not shrink with cluster size)."""
     rules = settings.blocking_rules_to_generate_predictions
     if not rules:
         raise ValueError("no blocking rules configured")
@@ -932,7 +972,9 @@ def generate_pairs(
                 tmp = part + ".tmp"
                 shutil.rmtree(tmp, ignore_errors=True)
                 os.makedirs(tmp, exist_ok=True)
+                uid_l, uid_r = f"{uid}_l", f"{uid}_r"
                 writer = None
+                edge_parts: list[pa.Table] = []
                 rows = 0
                 for chunk in _pairgen_score_stream(
                     t2, settings, score_cols, earlier_by_rule, tf_refs, keep_cols
@@ -941,6 +983,14 @@ def generate_pairs(
                         chunk = chunk.filter(
                             pc.greater_equal(chunk["match_probability"], sink_threshold)
                         )
+                    if edge_dir is not None and len(chunk):
+                        e = chunk.select([uid_l, uid_r, "match_probability"])
+                        if edge_threshold is not None:
+                            e = e.filter(
+                                pc.greater_equal(e["match_probability"], edge_threshold)
+                            )
+                        if len(e):
+                            edge_parts.append(e)
                     if writer is None:
                         writer = pq.ParquetWriter(
                             os.path.join(tmp, "part-0.parquet"), chunk.schema
@@ -954,6 +1004,23 @@ def generate_pairs(
                     )
                     writer.write_table(empty)
                 writer.close()
+                if edge_dir is not None:
+                    # edge sidecar lands BEFORE the _DONE marker so a skipped
+                    # (resumed) bucket always has its edges on disk
+                    os.makedirs(edge_dir, exist_ok=True)
+                    if edge_parts:
+                        etbl = pa.concat_tables(edge_parts)
+                    else:
+                        etbl = pa.table(
+                            {
+                                uid_l: pa.array([], _empty_scored(t2)[uid_l].type),
+                                uid_r: pa.array([], _empty_scored(t2)[uid_r].type),
+                                "match_probability": pa.array([], pa.float64()),
+                            }
+                        )
+                    epath = os.path.join(edge_dir, f"bucket-{bid}.parquet")
+                    pq.write_table(etbl, epath + ".tmp")
+                    os.replace(epath + ".tmp", epath)
                 shutil.rmtree(part, ignore_errors=True)  # stale partial (no _DONE)
                 os.rename(tmp, part)
                 open(os.path.join(part, "_DONE"), "w").close()
@@ -1028,16 +1095,15 @@ def dedupe_pairs(pairs_ds, uid: str, num_buckets: int | None = None):
     """Exact pair-id dedup for exploding rules (B5): keep first by match_key."""
 
     def _first(t: pa.Table) -> pa.Table:
+        from .exchange import group_starts
+
         key = pc.binary_join_element_wise(
             pc.cast(t[f"{uid}_l"], pa.string()), pc.cast(t[f"{uid}_r"], pa.string()), "\x1f"
         )
         t = t.append_column("__pair", key)
         t = t.sort_by([("__pair", "ascending"), (MATCH_KEY_COL, "ascending")])
-        p = np.asarray(t["__pair"].to_pylist(), dtype=object)
-        keep = np.empty(len(p), bool)
-        if len(p):
-            keep[0] = True
-            keep[1:] = p[1:] != p[:-1]
+        keep = np.zeros(len(t), bool)
+        keep[group_starts(t["__pair"])] = True
         return t.filter(pa.array(keep)).drop_columns(["__pair"])
 
     def _key(t: pa.Table) -> pa.Table:

@@ -68,13 +68,10 @@ def canonicalize_bucket(tbl: pa.Table) -> pa.Table:
     role_arr = t["role"].combine_chunks()
     ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
 
-    conv = np.asarray(conv_arr.to_pylist(), dtype=object)
-    n = len(conv)
-    change = np.empty(n, bool)
-    change[0] = True
-    change[1:] = conv[1:] != conv[:-1]  # measured faster than Arrow
-    starts = np.flatnonzero(change)     # adjacent-slice not_equal here
+    n = len(conv_arr)
+    from .exchange import group_starts
 
+    starts = group_starts(conv_arr)  # C-level adjacent-slice not_equal
     ends = np.append(starts[1:], n)
     n_groups = len(starts)
 

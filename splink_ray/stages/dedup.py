@@ -47,16 +47,12 @@ def _pairs_in_buckets(tbl: pa.Table, key_col: str, id_col: str) -> tuple[np.ndar
     """Triangle pair indices for every key-group in a bucket table (sorted by
     (key, id) for determinism)."""
     t = tbl.sort_by([(key_col, "ascending"), (id_col, "ascending")])
-    try:
-        keys = t[key_col].to_numpy(zero_copy_only=False)
-    except Exception:
-        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
-    change = np.empty(len(keys), bool)
-    if len(keys):
-        change[0] = True
-        change[1:] = keys[1:] != keys[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(keys))
+    from .exchange import group_starts
+
+    starts = group_starts(
+        t[key_col].combine_chunks() if isinstance(t[key_col], pa.ChunkedArray) else t[key_col]
+    )
+    ends = np.append(starts[1:], len(t))
     li, ri = [], []
     for s, e in zip(starts, ends):
         n = e - s
@@ -84,12 +80,11 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets=None):
         return t.append_column("__h", pa.array(content_hash(t[text_col]), pa.string()))
 
     def _keep_first(t: pa.Table) -> pa.Table:
+        from .exchange import group_starts
+
         t = t.sort_by([("__h", "ascending"), (id_col, "ascending")])
-        h = np.asarray(t["__h"].to_pylist(), dtype=object)
-        keep = np.empty(len(h), bool)
-        if len(h):
-            keep[0] = True
-            keep[1:] = h[1:] != h[:-1]
+        keep = np.zeros(len(t), bool)
+        keep[group_starts(t["__h"])] = True
         return t.filter(pa.array(keep)).drop_columns(["__h"])
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
@@ -108,15 +103,12 @@ def exact_dup_groups(ds, text_col: str, id_col: str, num_buckets=None):
         )
 
     def _grp(t: pa.Table) -> pa.Table:
+        from .exchange import group_starts
+
         t = t.sort_by([("__h", "ascending"), (id_col, "ascending")])
-        h = np.asarray(t["__h"].to_pylist(), dtype=object)
         ids = t[id_col]
-        change = np.empty(len(h), bool)
-        if len(h):
-            change[0] = True
-            change[1:] = h[1:] != h[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(h))
+        starts = group_starts(t["__h"])
+        ends = np.append(starts[1:], len(t))
         return pa.table(
             {
                 "rep_id": ids.take(pa.array(starts)),

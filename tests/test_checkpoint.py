@@ -116,3 +116,42 @@ def test_checkpointed_predict_uses_bucket_partitions(ray_session, records, tmp_p
     # rerun skips the whole stage
     _, info2 = predict_with_checkpoints(records, s, run_dir, threshold_match_probability=0.5)
     assert "scored" in info2["skipped"]
+
+
+def test_edge_sidecar_matches_scored_threshold(ray_session, records, tmp_path):
+    """The per-bucket clustering edge sidecar must equal the scored table
+    filtered at the edge threshold, and survive a bucket-resume untouched."""
+    import glob
+
+    import ray.data as rd
+
+    from splink_ray.pipelines.predict import predict_to_partitioned
+
+    s = transcript_settings()
+    d = str(tmp_path / "scored")
+    ed = str(tmp_path / "edges")
+    scored, _, stats = predict_to_partitioned(
+        records, s, d, num_buckets=8, edge_dir=ed, edge_threshold=0.9
+    )
+    sdf = scored.to_pandas()
+    exp = sdf[sdf.match_probability >= 0.9][
+        ["unique_id_l", "unique_id_r", "match_probability"]
+    ]
+    edf = rd.read_parquet(ed).to_pandas()
+    key = ["unique_id_l", "unique_id_r"]
+    pd.testing.assert_frame_equal(
+        exp.sort_values(key).reset_index(drop=True),
+        edf.sort_values(key).reset_index(drop=True),
+    )
+    # resume: kill one bucket, rerun — edges still complete and identical
+    buckets = sorted(glob.glob(os.path.join(d, "bucket-*")))
+    shutil.rmtree(buckets[0])
+    _, _, stats2 = predict_to_partitioned(
+        records, s, d, num_buckets=8, edge_dir=ed, edge_threshold=0.9
+    )
+    assert stats2["skipped"].sum() == len(stats2) - 1
+    edf2 = rd.read_parquet(ed).to_pandas()
+    pd.testing.assert_frame_equal(
+        edf.sort_values(key).reset_index(drop=True),
+        edf2.sort_values(key).reset_index(drop=True),
+    )
