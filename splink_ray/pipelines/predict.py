@@ -18,6 +18,7 @@ blocking rules + tf each branch from it):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..settings import Settings
@@ -243,51 +244,51 @@ def find_matches_to_new_records(
             self.ctx = make_eval_context(settings)
             self.tf_maps = {c: ray.get(r) for c, r in (tf_refs or {}).items()}
             self.rules = settings.blocking_rules_to_generate_predictions
-            # per-rule inverted index: key value → new-record row indices
-            self.key_index: list[dict] = []
-            self.new_keys: list[list] = []
+            # per-rule new-record keys (object ndarray) + non-null (key, row)
+            # frame for the vectorized corpus merge
+            self.new_keys: list[np.ndarray] = []
+            self.new_frames: list = []
             for i in range(len(self.rules)):
-                keys = self.new[bk_col(i)].to_pylist()
+                keys = np.asarray(self.new[bk_col(i)].to_pylist(), dtype=object)
                 self.new_keys.append(keys)
-                idx: dict = {}
-                for row, k in enumerate(keys):
-                    if k is not None:
-                        idx.setdefault(k, []).append(row)
-                self.key_index.append(idx)
+                nn = np.flatnonzero(pd.notna(keys))
+                self.new_frames.append(
+                    pd.DataFrame({"__k": keys[nn], "__ni": nn.astype(np.int64)})
+                )
 
         def __call__(self, t: pa.Table) -> pa.Table:
             s = self.settings
             uid = s.unique_id_column_name
             base_keys = [rule.key_values(t) for rule in self.rules]
-            base_lists = [bk.to_pylist() for bk in base_keys]
+            base_arrs = [
+                np.asarray(bk.to_pylist(), dtype=object) for bk in base_keys
+            ]
             parts = []
             for i in range(len(self.rules)):
-                idx = self.key_index[i]
-                if not idx:
+                nf = self.new_frames[i]
+                if nf.empty:
                     continue
-                ni, bi = [], []
-                for row, k in enumerate(base_lists[i]):
-                    if k is None:
-                        continue
-                    hits = idx.get(k)
-                    if hits:
-                        for h in hits:
-                            ni.append(h)
-                            bi.append(row)
-                if not ni:
+                barr = base_arrs[i]
+                bnn = np.flatnonzero(pd.notna(barr))
+                if not len(bnn):
                     continue
-                ni = np.asarray(ni, np.int64)
-                bi = np.asarray(bi, np.int64)
-                # cross-rule exclusion: drop pairs an earlier rule already emitted
+                # vectorized hash-join of corpus keys against the (small)
+                # new-record keys; left order = (corpus row asc, new row asc)
+                # — identical to the former per-row index walk
+                m = pd.DataFrame({"__k": barr[bnn], "__bi": bnn.astype(np.int64)}).merge(
+                    nf, on="__k"
+                )
+                if m.empty:
+                    continue
+                ni = m["__ni"].to_numpy()
+                bi = m["__bi"].to_numpy()
+                # cross-rule exclusion: drop pairs an earlier rule already
+                # emitted — one elementwise equality per earlier rule
                 keep = np.ones(len(ni), bool)
                 for j in range(i):
-                    nk = self.new_keys[j]
-                    bk = base_lists[j]
-                    for p in range(len(ni)):
-                        if keep[p]:
-                            a, b = nk[ni[p]], bk[bi[p]]
-                            if a is not None and a == b:
-                                keep[p] = False
+                    nk = self.new_keys[j][ni]
+                    bk = base_arrs[j][bi]
+                    keep &= ~((nk == bk) & pd.notna(nk))
                 ni, bi = ni[keep], bi[keep]
                 if not len(ni):
                     continue
