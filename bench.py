@@ -201,6 +201,15 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
         # one full untimed warmup linkage: spins worker processes, allocator
         # arenas, and the kernel page pool before any timed sample
         run_linkage(fixture, out_dir, turns)
+    elif os.environ.get("BENCH_WARMUP_SMALL") == "1":
+        # scaling legs run a single timed sample (wall-clock bounded): spin
+        # the worker pool + allocator arenas on a small fixture instead, so
+        # process-startup latency doesn't land inside the timed run (it
+        # lands on both legs equally in absolute terms, i.e. relatively
+        # harder on the fast leg — a measurement artifact, not pipeline work;
+        # on a real cluster workers are long-lived)
+        warm_turns = 200_000
+        run_linkage(ensure_fixture(warm_turns), out_dir, warm_turns)
 
     linkage_samples: list[tuple[dict, dict]] = []
     for _ in range(runs):
@@ -259,6 +268,7 @@ def main() -> None:
         os.environ.setdefault("BENCH_EPD", "1000")
         os.environ["BENCH_TURNS"] = str(turns)
         os.environ.setdefault("BENCH_RUNS", "1")
+        os.environ.setdefault("BENCH_WARMUP_SMALL", "1")
         ensure_fixture(turns)  # generate + warm once, outside both timings
 
         def run(ncpu: int) -> dict:
@@ -273,7 +283,13 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        lo, hi = 8, 32
+        # N and 4N CPUs (the sandbox proxy for N vs 4N nodes). Default 8→32;
+        # BENCH_SCALE_LO/HI override — e.g. 4→16 keeps the high leg from
+        # competing with Ray's own system processes (raylet / object store /
+        # driver) for cores, which on a real cluster run on EVERY node's
+        # reserved headroom equally rather than only squeezing the 4N leg
+        lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+        hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
         r_lo = run(lo)
         r_hi = run(hi)
         # efficiency on the headline linkage pipeline (canonicalize +
@@ -298,6 +314,10 @@ def main() -> None:
                     f"sec_{hi}": r_hi["value"],
                     f"pairs_per_sec_{lo}": r_lo["pairs_scored_per_sec"],
                     f"pairs_per_sec_{hi}": r_hi["pairs_scored_per_sec"],
+                    # per-stage wall at each leg: shows WHERE the efficiency
+                    # is lost (fixed per-op latency vs parallel-work scaling)
+                    f"stages_{lo}": r_lo["queries"],
+                    f"stages_{hi}": r_hi["queries"],
                     "sf": sf_dir,
                     "turns": turns,
                 }

@@ -51,38 +51,73 @@ def _threshold_edges(predictions_ds, threshold: float | None, uid: str):
 # ---------------------------------------------------------------------------
 
 
-class _DSU:
-    __slots__ = ("parent",)
+def _components_local(edges_df: pd.DataFrame, uid: str) -> tuple[pa.Array, pa.Array]:
+    """Connected components of the (driver-resident) edge list, vectorized.
 
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent
-        root = x
-        while p.get(root, root) != root:
-            root = p[root]
-        while p.get(x, x) != root:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        # min-id root → cluster_id = min unique_id in component
-        if rb < ra:
-            ra, rb = rb, ra
-        self.parent[rb] = ra
-
-
-def _components_local(edges_df: pd.DataFrame, uid: str) -> dict:
-    dsu = _DSU()
-    for a, b in zip(edges_df[f"{uid}_l"], edges_df[f"{uid}_r"]):
-        dsu.union(a, b)
-    return {x: dsu.find(x) for x in dsu.parent} | {
-        x: dsu.find(x) for x in set(edges_df[f"{uid}_l"]) | set(edges_df[f"{uid}_r"])
-    }
+    Factorize endpoints to int codes, then numpy min-label propagation with
+    pointer jumping to a fixpoint — O(E) C-speed per round, O(log d) rounds
+    (the Python dict union-find this replaces walked every edge in the
+    interpreter: the whole cluster stage was a fixed serial cost at every
+    CPU count — round-3 scaling breakdown). Returns (touched uids, their
+    component representative = min uid under the NATIVE ordering), aligned.
+    """
+    codes, uniques = pd.factorize(
+        np.concatenate(
+            [
+                edges_df[f"{uid}_l"].to_numpy(),
+                edges_df[f"{uid}_r"].to_numpy(),
+            ]
+        )
+    )
+    n_e = len(edges_df)
+    l, r = codes[:n_e], codes[n_e:]
+    # min-label in CODE space first (codes are arbitrary but stable): gives
+    # the partition; the per-component min-uid representative is fixed after.
+    # Per-node scatter-min goes through ONE upfront argsort of the incidence
+    # list + minimum.reduceat per round (np.minimum.at is a scalar loop —
+    # measured 4.5x slower than the python union-find it was meant to beat)
+    labels = np.arange(len(uniques), dtype=np.int64)
+    if n_e:
+        nd = codes  # concat(l, r): each edge contributes to both endpoints
+        order = np.argsort(nd, kind="stable")
+        nd_sorted = nd[order]
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], nd_sorted[1:] != nd_sorted[:-1]))
+        )
+        seg_nodes = nd_sorted[seg_starts]
+        while True:
+            e_min = np.minimum(labels[l], labels[r])
+            v = np.concatenate([e_min, e_min])[order]
+            seg_min = np.minimum.reduceat(v, seg_starts)
+            before = labels.copy()
+            labels[seg_nodes] = np.minimum(labels[seg_nodes], seg_min)
+            # pointer jumping: collapse chains label→label[label]
+            while True:
+                nl = labels[labels]
+                if np.array_equal(nl, labels):
+                    break
+                labels = nl
+            if np.array_equal(labels, before):
+                break
+    # representative = min unique_id in the component under the native
+    # ordering (NOT min code). Arrow sort gives byte-order ranks at C speed
+    # (pandas groupby-min on object strings measured 6.8 s on 512k nodes —
+    # 35x this path); per-component argmin-rank via the same reduceat trick.
+    arr = pa.Array.from_pandas(pd.Series(uniques))
+    n = len(arr)
+    if n == 0:
+        return arr, arr
+    si = pc.sort_indices(arr).to_numpy()
+    rank = np.empty(n, np.int64)
+    rank[si] = np.arange(n)
+    order2 = np.argsort(labels, kind="stable")
+    lab_sorted = labels[order2]
+    starts = np.flatnonzero(np.concatenate(([True], lab_sorted[1:] != lab_sorted[:-1])))
+    counts = np.diff(np.append(starts, n))
+    min_rank = np.minimum.reduceat(rank[order2], starts)
+    rep_idx = np.empty(n, np.int64)
+    rep_idx[order2] = np.repeat(si[min_rank], counts)
+    return arr, arr.take(pa.array(rep_idx))
 
 
 # ---------------------------------------------------------------------------
@@ -259,30 +294,32 @@ def cluster_pairwise_predictions_at_threshold(
     if method == "local":
         if edf is None:
             edf = edges.to_pandas()
-        rep_map = _components_local(edf, uid)
-        ref = broadcast(rep_map)
+        keys, reps = _components_local(edf, uid)
+        ref = broadcast((keys, reps))
 
-        class _Assign:
-            def __init__(self, ref):
-                import ray
+        def _assign(t: pa.Table) -> pa.Table:
+            # plain task fn + per-process broadcast cache: an autoscaling
+            # actor pool ramps too slowly for this short stage and
+            # serialized the whole (wide) records pass behind ≤4 actors
+            # (measured 9.7 s vs ~2.5 s at 32 CPUs). Vectorized lookup:
+            # index_in against the broadcast key set, take the aligned
+            # representative, fall back to self for untouched (singleton)
+            # records. Representatives are min under the NATIVE ordering,
+            # matching the distributed solver's Min aggregate ('10' < '9'
+            # for string ids).
+            from ..stages.blocking import _fetch_broadcast
 
-                self.map = ray.get(ref)
+            keys, reps = _fetch_broadcast(ref)
+            arr = t[uid]
+            col = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            if keys.type != col.type:
+                keys = keys.cast(col.type)
+                reps = reps.cast(col.type)
+            idx = pc.index_in(col, value_set=keys)
+            cid = pc.coalesce(reps.take(idx), col)
+            return t.append_column("cluster_id", cid)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                arr = t[uid]
-                uids = arr.to_pylist()
-                reps = [self.map.get(x, x) for x in uids]
-                # native uid type: representatives are min under the native
-                # ordering, matching the distributed solver's Min aggregate
-                # (string-typed ids would make '10' < '9')
-                return t.append_column("cluster_id", pa.array(reps, arr.type))
-
-        clustered = records_ds.map_batches(
-            _Assign,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"ref": ref},
-        )
+        clustered = records_ds.map_batches(_assign, batch_format="pyarrow")
         info["n_edges"] = len(edf)
         return clustered, info
 
