@@ -75,6 +75,17 @@ def ensure_fixture(turns: int) -> str:
     return path
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — 0s if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
 def run_linkage(fixture: str, out_dir: str, turns: int) -> tuple[dict, dict]:
     """One full linkage: canonicalize → predict (bucket sink + clustering
     edge sidecar) → connected components. Returns (timings, extras)."""
@@ -211,10 +222,12 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
         warm_turns = 200_000
         run_linkage(ensure_fixture(warm_turns), out_dir, warm_turns)
 
+    st0, tt0 = _cpu_stat()
     linkage_samples: list[tuple[dict, dict]] = []
     for _ in range(runs):
         linkage_samples.append(run_linkage(fixture, out_dir, turns))
     corpus_samples = [run_corpus_ops(sf_dir) for _ in range(runs)]
+    st1, tt1 = _cpu_stat()
 
     def med(samples, key) -> float:
         return round(statistics.median(s[0][key] for s in samples), 2)
@@ -230,6 +243,12 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
     ]
     extras["linkage_runs"] = per_run
     extras["bench_runs"] = runs
+    if tt1 > tt0:
+        # hypervisor CPU steal during the timed window: this VM is throttled
+        # under sustained >16-core load (vmstat showed 19% steal at 32-core
+        # burn, 0% at 16) — a per-draw contamination record, so any slow
+        # sample carries its own evidence
+        extras["cpu_steal_pct"] = round(100 * (st1 - st0) / (tt1 - tt0), 2)
     if runs > 1:
         spread = (max(per_run) - min(per_run)) / max(min(per_run), 1e-9)
         extras["linkage_run_spread"] = round(spread, 3)
@@ -269,6 +288,13 @@ def main() -> None:
         os.environ["BENCH_TURNS"] = str(turns)
         os.environ.setdefault("BENCH_RUNS", "1")
         os.environ.setdefault("BENCH_WARMUP_SMALL", "1")
+        # identical plan at both legs: partition count sized by DATA (what a
+        # production job does — the plan doesn't change with cluster size,
+        # only the schedule), 8 buckets per high-leg CPU
+        os.environ.setdefault(
+            "SPLINK_RAY_NUM_BUCKETS",
+            str(int(os.environ.get("BENCH_SCALE_HI", "32")) * 8),
+        )
         ensure_fixture(turns)  # generate + warm once, outside both timings
 
         def run(ncpu: int) -> dict:
@@ -318,6 +344,8 @@ def main() -> None:
                     # is lost (fixed per-op latency vs parallel-work scaling)
                     f"stages_{lo}": r_lo["queries"],
                     f"stages_{hi}": r_hi["queries"],
+                    f"steal_pct_{lo}": r_lo.get("cpu_steal_pct"),
+                    f"steal_pct_{hi}": r_hi.get("cpu_steal_pct"),
                     "sf": sf_dir,
                     "turns": turns,
                 }

@@ -46,7 +46,18 @@ def default_num_buckets(num_rows_hint: int | None = None) -> int:
     Measured on the dense bench (625M pairs, 32 CPUs): 3×CPU buckets leave
     straggler tails that cost ~20% wall time; 6–8×CPU packs the heavy
     pair-group tasks far better (94.7 s → 79.1 s) and keeps per-task peak
-    memory smaller. Fixed per-bucket cost stays negligible at these sizes."""
+    memory smaller. Fixed per-bucket cost stays negligible at these sizes.
+
+    ``SPLINK_RAY_NUM_BUCKETS`` pins the count outright: a production job
+    sizes partitions by DATA (so the plan is identical on an N-node and a
+    4N-node cluster and only the schedule changes); the CPU-derived default
+    is a convenience for interactive sessions. The scaling bench pins it so
+    both parallelism legs execute the same task DAG."""
+    import os
+
+    pinned = os.environ.get("SPLINK_RAY_NUM_BUCKETS")
+    if pinned:
+        return max(2, int(pinned))
     b = default_parallelism() * 8
     if num_rows_hint is not None:
         b = min(b, max(1, num_rows_hint // 100 + 1))
