@@ -25,6 +25,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from splink_ray import Settings, block_on, col
 import splink_ray.comparison_level_library as cll
@@ -782,6 +783,52 @@ def q_clean_corpus_docs(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_scrub_pii_contacts(sf_dir: str):
+    """Corpus: PII scrubbing over contact strings synthesized
+    deterministically from c_custkey arithmetic (this testdata's customer
+    table has no phone column) — phone/SSN/IP-shaped tokens plus a real
+    @-domain email; redact all four and count matches per category."""
+    from splink_ray.stages.corpus import scrub_pii_batch
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].combine_chunks() if isinstance(
+            t["c_custkey"], pa.ChunkedArray
+        ) else t["c_custkey"]
+
+        def _mod(x, m):  # Arrow int divide truncates; k >= 0 here
+            return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+        def _s(x):
+            return pc.cast(x, pa.string())
+
+        # fixed-width by construction (no lpad): 3-3-4 phone, 3-2-4 ssn
+        phone = pc.binary_join_element_wise(
+            _s(pc.add(_mod(k, 700), 200)), _s(pc.add(_mod(pc.multiply(k, 7), 900), 100)),
+            _s(pc.add(_mod(pc.multiply(k, 13), 9000), 1000)), "-",
+        )
+        ssn = pc.binary_join_element_wise(
+            _s(pc.add(_mod(k, 900), 100)), _s(pc.add(_mod(pc.multiply(k, 3), 90), 10)),
+            _s(pc.add(_mod(pc.multiply(k, 11), 9000), 1000)), "-",
+        )
+        ip = pc.binary_join_element_wise(
+            "10", _s(_mod(k, 250)), _s(_mod(pc.multiply(k, 3), 250)),
+            _s(_mod(pc.multiply(k, 7), 250)), ".",
+        )
+        txt = pc.binary_join_element_wise(
+            "reach ", t["c_name"], " at ", phone, " or ",
+            pc.utf8_lower(t["c_name"]), "@example.com from ", ip, " ssn ", ssn, "",
+        )
+        scrubbed, cnts = scrub_pii_batch(txt)
+        cols = {"c_custkey": k, "scrubbed": scrubbed}
+        # int64: DuckDB len() is BIGINT; keep the compared schemas identical
+        cols |= {nm: v.cast(pa.int64()) for nm, v in cnts.items()}
+        return pa.table(cols)
+
+    return _ds(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -887,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "top_bigrams": q_top_bigrams,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "scrub_pii_contacts": q_scrub_pii_contacts,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1019,6 +1067,44 @@ def _estimate_u_sql() -> str:
         "FROM samp l JOIN samp r ON l.c_custkey < r.c_custkey), "
         f"g AS (SELECT {gamma_name} AS g1, {gamma_bal} AS g2 FROM p) "
         + " UNION ALL ".join(parts)
+    )
+
+
+def _scrub_pii_sql() -> str:
+    """Oracle for scrub_pii_contacts: the SAME RE2 pattern strings applied in
+    :data:`PII_PATTERNS` order (pyarrow and DuckDB both compile RE2, so match
+    semantics are identical); counts via regexp_extract_all on the original
+    text, mirroring ``scrub_pii_batch``."""
+    from splink_ray.stages.corpus import PII_PATTERNS
+
+    scrub = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    phone = (
+        "CAST(c_custkey % 700 + 200 AS VARCHAR) || '-' || "
+        "CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-' || "
+        "CAST(c_custkey * 13 % 9000 + 1000 AS VARCHAR)"
+    )
+    ssn = (
+        "CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' || "
+        "CAST(c_custkey * 3 % 90 + 10 AS VARCHAR) || '-' || "
+        "CAST(c_custkey * 11 % 9000 + 1000 AS VARCHAR)"
+    )
+    ip = (
+        "'10.' || CAST(c_custkey % 250 AS VARCHAR) || '.' || "
+        "CAST(c_custkey * 3 % 250 AS VARCHAR) || '.' || "
+        "CAST(c_custkey * 7 % 250 AS VARCHAR)"
+    )
+    return (
+        "WITH txt AS (SELECT c_custkey, "
+        f"'reach ' || c_name || ' at ' || {phone} || ' or ' || "
+        f"lower(c_name) || '@example.com from ' || {ip} || ' ssn ' || {ssn} AS t "
+        "FROM customer) "
+        f"SELECT c_custkey, {scrub} AS scrubbed, {counts} FROM txt"
     )
 
 
@@ -1384,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n DESC, ngram LIMIT 20"
         ),
         "clean_corpus_docs": _clean_corpus_sql(),
+        "scrub_pii_contacts": _scrub_pii_sql(),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

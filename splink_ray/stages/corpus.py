@@ -177,3 +177,58 @@ def clean_corpus(
 
     prepped = ds.map_batches(_prep, batch_format="pyarrow")
     return exact_dedup(prepped, "norm_text", id_col, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2 patterns (pyarrow and DuckDB both compile RE2, so the SAME strings run
+# in the engine and in the SQL oracle with identical match semantics).
+# Order matters and is part of the contract: email → ip → ssn → phone.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii_batch(texts, counts: bool = True):
+    """Redact PII spans in a string array; one vectorized RE2 pass per
+    pattern (training-data pipelines scrub before any text leaves the
+    worker — emails, IPs, SSNs, US-style phone numbers).
+
+    Returns ``(scrubbed: pa.Array, counts: dict[str, pa.Array])`` —
+    per-category match counts are taken on the ORIGINAL text (categories
+    are disjoint by construction; replacements run sequentially in
+    :data:`PII_PATTERNS` order).
+
+    Oracle: nested ``regexp_replace(..., 'g')`` in the same order +
+    ``len(regexp_extract_all(text, pat))`` per category."""
+    arr = texts if isinstance(texts, pa.Array) else pa.chunked_array([texts]).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out_counts: dict[str, pa.Array] = {}
+    scrubbed = arr
+    for name, pat, repl in PII_PATTERNS:
+        if counts:
+            out_counts[f"n_{name}"] = pc.count_substring_regex(arr, pat)
+        scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
+    return scrubbed, out_counts
+
+
+def scrub_pii(ds, text_col: str, out_col: str | None = None, counts: bool = True):
+    """Dataset wrapper: adds ``out_col`` (default ``<text_col>_scrubbed``)
+    plus ``n_email / n_ip / n_ssn / n_phone`` count columns. Streaming
+    ``map_batches``, no exchange."""
+    out = out_col or f"{text_col}_scrubbed"
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        scrubbed, cnts = scrub_pii_batch(t[text_col], counts=counts)
+        t = t.append_column(out, scrubbed)
+        for k, v in cnts.items():
+            t = t.append_column(k, v)
+        return t
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

@@ -95,3 +95,53 @@ def test_embedding_dedup_groups_transitive(ray_session):
     m = dict(zip(*(out.to_pandas()[c] for c in ("vec_id", "dup_group_id"))))
     assert m[1] == m[2] == m[3] == 1
     assert m[4] == 4
+
+
+def test_scrub_pii_batch_redacts_and_counts():
+    texts = [
+        "mail a.b-c%d@foo.co.uk or 10.0.0.1 ssn 123-45-6789 call 555-123-4567",
+        "no pii here",
+        None,
+        "two mails: x@y.io y@z.org; ip 999.1.2.3",
+    ]
+    scrubbed, cnts = corpus.scrub_pii_batch(pa.array(texts))
+    got = scrubbed.to_pylist()
+    assert got[0] == "mail <EMAIL> or <IP> ssn <SSN> call <PHONE>"
+    assert got[1] == "no pii here"
+    assert got[2] is None
+    assert got[3] == "two mails: <EMAIL> <EMAIL>; ip <IP>"  # RE2 \d{1,3} matches 999
+    assert cnts["n_email"].to_pylist() == [1, 0, None, 2]
+    assert cnts["n_ip"].to_pylist() == [1, 0, None, 1]
+    assert cnts["n_ssn"].to_pylist() == [1, 0, None, 0]
+    assert cnts["n_phone"].to_pylist() == [1, 0, None, 0]
+
+
+def test_scrub_pii_matches_duckdb(ray_session):
+    """Engine-vs-oracle parity on awkward strings (overlaps, boundaries)."""
+    import duckdb
+    import ray.data as rd
+
+    texts = [
+        "a@b.io 1.2.3.4 111-22-3333 222-333-4444",
+        "phone-ish 123-456-78901 (5 trailing digits: no \\b match)",
+        "dot sep 123.456.7890 and space sep 123 456 7890",
+        "edge@case.museum.",
+        "ip at end 8.8.8.8",
+    ]
+    ds = rd.from_arrow(pa.table({"i": list(range(len(texts))), "t": texts}))
+    out = corpus.scrub_pii(ds, "t").to_pandas().sort_values("i").reset_index(drop=True)
+
+    scrub = "t"
+    for _, pat, repl in corpus.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in corpus.PII_PATTERNS
+    )
+    con = duckdb.connect()
+    con.register("src", pa.table({"i": list(range(len(texts))), "t": texts}))
+    exp = con.execute(
+        f"SELECT i, {scrub} AS t_scrubbed, {counts} FROM src ORDER BY i"
+    ).df()
+    for col in ("t_scrubbed", "n_email", "n_ip", "n_ssn", "n_phone"):
+        assert list(out[col]) == list(exp[col]), col
