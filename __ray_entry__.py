@@ -829,6 +829,48 @@ def q_scrub_pii_contacts(sf_dir: str):
     )
 
 
+def q_repetition_docs(sf_dir: str):
+    """Quality: Gopher-style repetition stats (dup-word fraction, top-bigram
+    fraction) per document."""
+    from splink_ray.stages.corpus import repetition_stats
+
+    return repetition_stats(_ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Quality: benchmark decontamination — flag docs sharing any word
+    5-gram with the deterministic doc_id % 37 == 0 'benchmark' subset; the
+    distinct-ngram blocklist is broadcast once, the corpus side streams."""
+    from splink_ray.stages.corpus import decontaminate, ngram_blocklist
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        return t.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 37), 37)), 0))
+
+    bl = ngram_blocklist(ds.map_batches(_bench, batch_format="pyarrow"), "text", n=5)
+    return decontaminate(ds, "text", "doc_id", bl, n=5)
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Sampling: deterministic per-stratum md5-cut Bernoulli sample over
+    documents (en 0.5, de 0.25, others 0.1) — same rows survive at any
+    partitioning/cluster size."""
+    from splink_ray.stages.sampling import stratified_sample
+
+    out = stratified_sample(
+        _ds(sf_dir, "documents", ["doc_id", "lang"]),
+        "doc_id",
+        rates={"en": 0.5, "de": 0.25},
+        strata_col="lang",
+        default_rate=0.1,
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -935,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "clean_corpus_docs": q_clean_corpus_docs,
         "scrub_pii_contacts": q_scrub_pii_contacts,
+        "repetition_docs": q_repetition_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1067,6 +1112,63 @@ def _estimate_u_sql() -> str:
         "FROM samp l JOIN samp r ON l.c_custkey < r.c_custkey), "
         f"g AS (SELECT {gamma_name} AS g1, {gamma_bal} AS g2 FROM p) "
         + " UNION ALL ".join(parts)
+    )
+
+
+_DOC_TOKS_CTE = (
+    "toks AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 "
+    "THEN CAST([] AS VARCHAR[]) ELSE str_split(text, ' ') END AS w FROM documents)"
+)
+
+
+def _repetition_sql() -> str:
+    """Oracle for repetition_docs: list_distinct for the dup-word fraction,
+    LATERAL bigram unnest + per-(doc, bigram) counts for the top-bigram
+    fraction; identical 1.0 − d/n double arithmetic."""
+    return (
+        f"WITH {_DOC_TOKS_CTE}, "
+        "base AS (SELECT doc_id, len(w) AS n_tok, CASE WHEN len(w) = 0 THEN 0 "
+        "ELSE len(list_distinct(w)) END AS n_dist FROM toks), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(w, gs.i + 1, gs.i + 2), ' ') AS bg "
+        "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) gs "
+        "WHERE len(w) >= 2), "
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg), "
+        "mt AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tok AS n_tokens, "
+        "CASE WHEN b.n_tok > 0 THEN 1.0 - CAST(b.n_dist AS DOUBLE) / b.n_tok "
+        "ELSE 0.0 END AS dup_word_frac, "
+        "CASE WHEN b.n_tok >= 2 THEN CAST(coalesce(mt.mc, 0) AS DOUBLE) / (b.n_tok - 1) "
+        "ELSE 0.0 END AS top_bigram_frac "
+        "FROM base b LEFT JOIN mt USING(doc_id)"
+    )
+
+
+def _decontaminate_sql() -> str:
+    """Oracle for decontaminate_docs: the same 5-gram windows, blocklist =
+    distinct n-grams of the doc_id % 37 == 0 subset, occurrence counts via
+    JOIN + GROUP BY."""
+    return (
+        f"WITH {_DOC_TOKS_CTE}, "
+        "g AS (SELECT doc_id, array_to_string(list_slice(w, gs.i + 1, gs.i + 5), ' ') AS ng "
+        "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(w) - 5)) AS i) gs "
+        "WHERE len(w) >= 5), "
+        "bl AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0), "
+        "hits AS (SELECT g.doc_id, count(*) AS h FROM g JOIN bl USING(ng) GROUP BY g.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated, "
+        "coalesce(h.h, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h USING(doc_id)"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    """Oracle for stratified_sample_docs: the engine's md5-cut predicate
+    verbatim (DuckDB computes the very same hash inside the engine —
+    duckdb_kernels.DuckKernel.md5_u32)."""
+    return (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < "
+        "CAST(floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END "
+        "* 4294967296.0) AS UBIGINT)"
     )
 
 
@@ -1471,6 +1573,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clean_corpus_docs": _clean_corpus_sql(),
         "scrub_pii_contacts": _scrub_pii_sql(),
+        "repetition_docs": _repetition_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
+        "stratified_sample_docs": _stratified_sample_sql(),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

@@ -95,6 +95,24 @@ class DuckKernel:
         col = out["v"].combine_chunks()
         return col
 
+    def md5_u32(self, v) -> "np.ndarray":
+        """Vectorized ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UINT64``
+        — the deterministic-sampling hash. Running it through DuckDB keeps
+        bit-parity with the SQL oracles by construction (same md5, same
+        VARCHAR rendering of the key)."""
+        import numpy as np
+
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        tbl = pa.table({"v": v})
+        self.con.register("_keys", tbl)
+        out = self.con.execute(
+            "SELECT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UBIGINT AS h "
+            "FROM _keys"
+        ).fetch_arrow_table()
+        self.con.unregister("_keys")
+        return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+
     def levenshtein(self, l: pa.Array, r: pa.Array) -> pa.Array:
         return self.eval_expr("levenshtein(l, r)", l, r)
 

@@ -232,3 +232,159 @@ def scrub_pii(ds, text_col: str, out_col: str | None = None, counts: bool = True
         return t
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_windows(texts, n: int):
+    """(grams: pa.Array, seg: np.ndarray doc index per gram, n_docs) for
+    whitespace word n-grams — segmented gather + one Arrow binary_join."""
+    flat, ntok = _token_lists(texts)
+    counts = np.maximum(ntok - n + 1, 0)
+    doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+    starts_abs = np.repeat(doc_starts, counts) + _segment_arange(counts)
+    grams = _window_join(flat, starts_abs, np.full(len(starts_abs), n, np.int64))
+    seg = np.repeat(np.arange(len(ntok), dtype=np.int64), counts)
+    return grams, seg, len(ntok)
+
+
+def repetition_stats(ds, text_col: str, id_col: str):
+    """Per-document repetition quality signals (the Gopher-rules shape):
+
+    - ``n_tokens`` — whitespace token count;
+    - ``dup_word_frac`` — ``1 − n_distinct_words / n_tokens`` (0.0 when
+      empty);
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (0.0 when fewer than 2 tokens).
+
+    Fully vectorized: dictionary-encode tokens once, per-doc distinct and
+    per-(doc, bigram) counts via int64 key ``np.unique`` + ``reduceat`` —
+    no Python loop over docs. Streaming ``map_batches``, no exchange.
+
+    Oracle: str_split + list_distinct + a LATERAL bigram unnest, see
+    ``__ray_entry__._repetition_sql``."""
+
+    def _stats(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t[text_col])
+        n = len(ntok)
+        seg = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        if len(flat):
+            codes = (
+                pc.dictionary_encode(flat)
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            K = int(codes.max()) + 1
+            uk = np.unique(seg * K + codes)
+            n_dist = np.bincount(uk // K, minlength=n)
+        else:
+            codes = np.empty(0, np.int64)
+            K = 1
+            n_dist = np.zeros(n, np.int64)
+        mc = np.zeros(n, np.int64)
+        if len(codes) >= 2:
+            same = seg[1:] == seg[:-1]
+            b_seg, c1, c2 = seg[:-1][same], codes[:-1][same], codes[1:][same]
+            if len(b_seg):
+                if n * K * K < 2**62:
+                    ukb, cnts = np.unique(
+                        (b_seg * K + c1) * K + c2, return_counts=True
+                    )
+                    docs_b = ukb // (K * K)
+                else:  # huge batches: same result via lexsorted 3-column key
+                    order = np.lexsort((c2, c1, b_seg))
+                    b_seg, c1, c2 = b_seg[order], c1[order], c2[order]
+                    new = np.empty(len(b_seg), bool)
+                    new[0] = True
+                    new[1:] = (
+                        (b_seg[1:] != b_seg[:-1])
+                        | (c1[1:] != c1[:-1])
+                        | (c2[1:] != c2[:-1])
+                    )
+                    starts_u = np.flatnonzero(new)
+                    cnts = np.diff(np.append(starts_u, len(b_seg)))
+                    docs_b = b_seg[starts_u]
+                bounds = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(docs_b)) + 1]
+                )
+                mc[docs_b[bounds]] = np.maximum.reduceat(cnts, bounds)
+        nb = np.maximum(ntok - 1, 0)
+        dup = np.where(ntok > 0, 1.0 - n_dist / np.maximum(ntok, 1), 0.0)
+        top = np.where(nb > 0, mc / np.maximum(nb, 1), 0.0)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "dup_word_frac": pa.array(dup, pa.float64()),
+                "top_bigram_frac": pa.array(top, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_blocklist(ds, text_col: str, n: int = 5) -> pa.Array:
+    """Distinct word n-grams of a (benchmark-sized, SMALL) dataset as one
+    Arrow string array — the broadcast side of :func:`decontaminate`.
+
+    Per-batch distinct n-grams stream back and union on the driver; bounded
+    by the blocklist size (a benchmark suite, not the corpus — the corpus
+    side never materializes)."""
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        grams, _, _ = _ngram_windows(t[text_col], n)
+        return pa.table({"ngram": pc.unique(grams)})
+
+    parts = ds.map_batches(_distinct, batch_format="pyarrow").take_all()
+    vals = sorted({r["ngram"] for r in parts})
+    return pa.array(vals, pa.string())
+
+
+def decontaminate(ds, text_col: str, id_col: str, blocklist, n: int = 5):
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    blocklist: per doc, ``n_contaminated`` (occurrences, counting repeats)
+    and ``contaminated``. The blocklist is broadcast ONCE via ``ray.put``
+    and fetched per worker process (never re-shipped per batch); the match
+    is one vectorized ``pc.is_in`` over the flattened n-gram windows.
+    Streaming, no exchange.
+
+    Oracle: LATERAL n-gram unnest JOIN a distinct-ngram CTE, grouped per
+    doc (``__ray_entry__._decontaminate_sql``)."""
+    from .blocking import _fetch_broadcast
+    from .exchange import broadcast
+
+    if not isinstance(blocklist, pa.Array):
+        blocklist = pa.array(list(blocklist), pa.string())
+    ref = broadcast(blocklist)
+
+    def _check(t: pa.Table) -> pa.Table:
+        bl = _fetch_broadcast(ref)
+        grams, seg, n_docs = _ngram_windows(t[text_col], n)
+        hits = np.zeros(n_docs, np.int64)
+        if len(grams) and len(bl):
+            mask = pc.is_in(grams, value_set=bl).to_numpy(zero_copy_only=False)
+            if mask.any():
+                hits = np.bincount(seg[mask], minlength=n_docs)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                "n_contaminated": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return ds.map_batches(_check, batch_format="pyarrow")

@@ -1,0 +1,76 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+No splink analogue — first-class extras per the task brief. The sampling
+gate is a pure per-row hash predicate, so every operator here is a
+streaming ``map_batches`` with NO exchange, no driver materialization and
+bit-reproducible output at any scale / partitioning: row ``k`` survives
+iff ``u32(md5(CAST(k AS VARCHAR))[:8]) < rate · 2³²`` — the same md5-cut
+convention the u-estimator uses (pipelines/training.py, SURVEY.md §2.8 E2).
+
+The hash runs through the process-singleton DuckDB connection
+(`duckdb_kernels.DuckKernel.md5_u32`): vectorized C++, and bit-parity with
+the SQL oracles by construction (same md5, same VARCHAR key rendering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+U32_SPACE = float(2**32)
+
+
+def _rate_cuts(rates, default_rate: float) -> dict:
+    cuts = {k: np.uint64(np.floor(r * U32_SPACE)) for k, r in rates.items()}
+    cuts["*"] = np.uint64(np.floor(default_rate * U32_SPACE))
+    return cuts
+
+
+def hash_sample(ds, key_col: str, rate: float):
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``. Same rows
+    survive regardless of partitioning, ordering or cluster size — a
+    resumable job re-draws the identical sample."""
+    return stratified_sample(ds, key_col, rates={}, strata_col=None, default_rate=rate)
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    rates: dict,
+    strata_col: str | None = None,
+    default_rate: float = 0.0,
+):
+    """Per-stratum deterministic sampling: keep a row iff its md5-cut falls
+    below ``rates[stratum]`` (``default_rate`` for unlisted strata; with
+    ``strata_col=None`` every row uses ``default_rate``).
+
+    The per-stratum rate table is a tiny dict captured in the closure
+    (strata are few by definition); the corpus side streams.
+
+    Oracle: ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::UBIGINT <
+    CAST(floor(rate * 4294967296) AS UBIGINT)`` with a CASE over the
+    strata column (``__ray_entry__._stratified_sample_sql``)."""
+    cuts = _rate_cuts(rates, default_rate)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        from ..duckdb_kernels import get_kernel
+
+        h = get_kernel().md5_u32(t[key_col])
+        if strata_col is None:
+            thr = np.full(len(t), cuts["*"], np.uint64)
+        else:
+            sv = t[strata_col]
+            if isinstance(sv, pa.ChunkedArray):
+                sv = sv.combine_chunks()
+            # few strata: dictionary-encode, map codes -> cuts once
+            d = sv.dictionary_encode()
+            per_code = np.fromiter(
+                (cuts.get(v, cuts["*"]) for v in d.dictionary.to_pylist()),
+                np.uint64,
+                len(d.dictionary),
+            )
+            idx = d.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+            thr = np.where(idx >= 0, per_code[np.maximum(idx, 0)], cuts["*"])
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

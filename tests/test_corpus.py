@@ -145,3 +145,78 @@ def test_scrub_pii_matches_duckdb(ray_session):
     ).df()
     for col in ("t_scrubbed", "n_email", "n_ip", "n_ssn", "n_phone"):
         assert list(out[col]) == list(exp[col]), col
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a a a b",        # 4 toks, 2 distinct; bigrams: aa aa ab -> top 2/3
+                    "x y z",          # all distinct; bigrams xy yz -> top 1/2
+                    "",               # empty
+                    None,             # null == empty
+                ],
+            }
+        )
+    )
+    out = (
+        corpus.repetition_stats(ds, "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out.n_tokens) == [4, 3, 0, 0]
+    assert out.dup_word_frac.tolist() == pytest.approx([0.5, 0.0, 0.0, 0.0])
+    assert out.top_bigram_frac.tolist() == pytest.approx([2 / 3, 0.5, 0.0, 0.0])
+
+
+def test_decontaminate_counts_occurrences(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "p q r s t u p q r s t",  # "p q r s t" twice (positions 0 and rolled)
+                    "no overlap at all here now",
+                    "p q r s t",
+                ],
+            }
+        )
+    )
+    out = (
+        corpus.decontaminate(ds, "text", "doc_id", ["p q r s t"], n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc1 windows: 7 of them; "p q r s t" occurs at window 0 and window 6? no —
+    # tokens p q r s t u p q r s t: window starting at idx 6 is "p q r s t" -> 2 hits
+    assert list(out.n_contaminated) == [2, 0, 1]
+    assert list(out.contaminated) == [True, False, True]
+
+
+def test_stratified_sample_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.sampling import stratified_sample
+
+    t = pa.table(
+        {
+            "k": list(range(2000)),
+            "s": ["a" if i % 3 == 0 else "b" for i in range(2000)],
+        }
+    )
+    kept = []
+    for nparts in (1, 7):
+        ds = rd.from_arrow(t).repartition(nparts)
+        out = stratified_sample(
+            ds, "k", rates={"a": 0.8}, strata_col="s", default_rate=0.2
+        ).to_pandas()
+        kept.append(sorted(out.k))
+    assert kept[0] == kept[1]  # same rows at any partitioning
+    a = sum(1 for k in kept[0] if k % 3 == 0)
+    b = len(kept[0]) - a
+    # rates hold approximately (667 'a' rows, 1333 'b' rows)
+    assert abs(a / 667 - 0.8) < 0.08 and abs(b / 1333 - 0.2) < 0.08
