@@ -871,6 +871,40 @@ def q_stratified_sample_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_pack_sequences_docs(sf_dir: str):
+    """Packing: global token offsets (distributed two-phase prefix scan over
+    doc_id ranges) and fixed-length training-sequence placement; small
+    bucket_width so the sf0.01 run exercises many ranges per hash bucket."""
+    from splink_ray.stages.scan import pack_sequences
+
+    return pack_sequences(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        seq_len=256,
+        bucket_width=64,
+    )
+
+
+def q_quota_docs(sf_dir: str):
+    """Sampling: cap each source domain at 20 documents, ranked by the
+    md5-cut hash (deterministic 'random' quota) with doc_id tie-break —
+    one hash exchange on source, vectorized in-bucket ranking."""
+    from splink_ray.duckdb_kernels import get_kernel
+    from splink_ray.stages.sampling import top_n_per_group
+
+    def _addh(t: pa.Table) -> pa.Table:
+        h = get_kernel().md5_u32(t["doc_id"])
+        return t.append_column("h", pa.array(h.astype("int64")))
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        _addh, batch_format="pyarrow"
+    )
+    return top_n_per_group(ds, "source", 20, ["h", "doc_id"]).select_columns(
+        ["doc_id", "source"]
+    )
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -980,6 +1014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "quota_docs": q_quota_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1157,6 +1193,37 @@ def _decontaminate_sql() -> str:
         "SELECT d.doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated, "
         "coalesce(h.h, 0) > 0 AS contaminated "
         "FROM documents d LEFT JOIN hits h USING(doc_id)"
+    )
+
+
+def _pack_sequences_sql() -> str:
+    """Oracle for pack_sequences_docs: exclusive running token sum via a
+    window frame, then integer pack placement — the scan result is exactly
+    a SQL window cumsum."""
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+        "length(trim(text)) = 0 THEN 0 ELSE len(str_split(text, ' ')) END "
+        "AS n_tokens FROM documents), "
+        "sc AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS token_offset FROM toks) "
+        "SELECT doc_id, n_tokens, token_offset, token_offset // 256 AS pack_id, "
+        "token_offset % 256 AS pack_offset, "
+        "((token_offset + greatest(n_tokens, 1) - 1) // 256) - "
+        "(token_offset // 256) + 1 AS n_packs FROM sc"
+    )
+
+
+def _quota_docs_sql() -> str:
+    """Oracle for quota_docs: row_number window over the same md5-cut hash
+    (the engine computes the identical hash through DuckDB — md5_u32)."""
+    return (
+        "WITH h AS (SELECT doc_id, source, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv "
+        "FROM documents), "
+        "r AS (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h) "
+        "SELECT doc_id, source FROM r WHERE rn <= 20"
     )
 
 
@@ -1576,6 +1643,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _repetition_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "stratified_sample_docs": _stratified_sample_sql(),
+        "pack_sequences_docs": _pack_sequences_sql(),
+        "quota_docs": _quota_docs_sql(),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

@@ -74,3 +74,40 @@ def stratified_sample(
         return t.filter(pa.array(h < thr))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def top_n_per_group(ds, group_col: str, n: int, order_cols, num_buckets=None):
+    """Quota capping: keep at most ``n`` rows per group, ranked by
+    ``order_cols`` ascending (make the last order column unique — e.g. the
+    record id — for a deterministic cut). The group-by-domain cap every
+    pretraining mix applies.
+
+    One hash exchange on ``group_col`` (groups never split across buckets);
+    inside each bucket the ranking is fully vectorized — one multi-key
+    Arrow sort, run starts via ``group_starts``, rank = arange − repeat.
+
+    Oracle: ``row_number() OVER (PARTITION BY g ORDER BY ...) <= n``
+    (``__ray_entry__._quota_docs_sql``). Arrow and DuckDB both order
+    strings bytewise, so mixed-type order keys stay parity-safe."""
+    from .exchange import group_starts, keyed_map
+
+    order_cols = list(order_cols)
+
+    def _cap(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[(group_col, "ascending")]
+            + [(c, "ascending") for c in order_cols]
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        rank = np.arange(len(t), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(t)))
+        )
+        return t.filter(pa.array(rank < n))
+
+    return keyed_map(ds, group_col, _cap, num_buckets=num_buckets)
