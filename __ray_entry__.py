@@ -905,6 +905,27 @@ def q_quota_docs(sf_dir: str):
     )
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Stats: exact per-language doc-length quantiles from the distributed
+    (group, value, count) histogram — only histogram rows shuffle."""
+    from splink_ray.stages.stats import grouped_quantiles
+
+    return grouped_quantiles(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        qs=(0.25, 0.5, 0.9),
+    )
+
+
+def q_shard_docs(sf_dir: str):
+    """Sharding: deterministic md5 shard assignment (resumable-output
+    layout) — same row → same shard at any partitioning."""
+    from splink_ray.stages.sampling import assign_shards
+
+    return assign_shards(_ds(sf_dir, "documents", ["doc_id"]), "doc_id", 16)
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -1016,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "quota_docs": q_quota_docs,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "shard_docs": q_shard_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1645,6 +1668,15 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _stratified_sample_sql(),
         "pack_sequences_docs": _pack_sequences_sql(),
         "quota_docs": _quota_docs_sql(),
+        "doc_length_quantiles": (
+            "SELECT lang, count(*) AS n, quantile_disc(n_chars, 0.25) AS q25, "
+            "quantile_disc(n_chars, 0.5) AS q50, quantile_disc(n_chars, 0.9) AS q90 "
+            "FROM documents GROUP BY lang"
+        ),
+        "shard_docs": (
+            "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::UBIGINT % 16 AS BIGINT) AS shard FROM documents"
+        ),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

@@ -111,3 +111,35 @@ def top_n_per_group(ds, group_col: str, n: int, order_cols, num_buckets=None):
         return t.filter(pa.array(rank < n))
 
     return keyed_map(ds, group_col, _cap, num_buckets=num_buckets)
+
+
+def assign_shards(ds, key_col: str, num_shards: int, shard_col: str = "shard"):
+    """Deterministic output sharding: ``shard = md5_u32(key) % num_shards``.
+    Same row → same shard at any partitioning or cluster size, so a
+    restarted job reproduces the exact shard layout (the resumable-output
+    contract). Streaming, no exchange.
+
+    Oracle: ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::UBIGINT %
+    num_shards``."""
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        from ..duckdb_kernels import get_kernel
+
+        h = get_kernel().md5_u32(t[key_col])
+        return t.append_column(
+            shard_col, pa.array((h % np.uint64(num_shards)).astype(np.int64))
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def write_sharded(ds, path: str, key_col: str, num_shards: int):
+    """Write ``ds`` as hive-partitioned parquet, one directory per
+    deterministic md5 shard (``shard=<i>/``). A failed run rewritten with
+    the same inputs reproduces identical shard contents, so finished shard
+    directories can be skipped on retry."""
+    assign_shards(ds, key_col, num_shards).write_parquet(
+        path, partition_cols=["shard"]
+    )

@@ -1,0 +1,71 @@
+"""Grouped quantiles (stages/stats.py) and deterministic sharding
+(stages/sampling.assign_shards / write_sharded)."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_grouped_quantiles_matches_duckdb_nearest_rank(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c", "solo"], n, p=[0.5, 0.3, 0.19, 0.01]),
+            "v": rng.integers(0, 40, n),  # heavy ties stress the histogram path
+        }
+    )
+    out = (
+        grouped_quantiles(rd.from_arrow(t).repartition(6), "g", "v",
+                          qs=(0.0, 0.25, 0.5, 0.9, 1.0))
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, count(*) AS n, quantile_disc(v, 0.0) AS q0, "
+        "quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.5) AS q50, "
+        "quantile_disc(v, 0.9) AS q90, quantile_disc(v, 1.0) AS q100 "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(out[exp.columns], exp, check_dtype=False)
+
+
+def test_grouped_quantiles_single_row_group(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_quantiles
+
+    out = grouped_quantiles(
+        rd.from_arrow(pa.table({"g": ["x"], "v": [7]})), "g", "v", qs=(0.5,)
+    ).to_pandas()
+    assert out.n.tolist() == [1] and out.q50.tolist() == [7]
+
+
+def test_write_sharded_layout_is_reproducible(ray_session, tmp_path):
+    import ray.data as rd
+
+    from splink_ray.stages.sampling import write_sharded
+
+    t = pa.table({"k": list(range(300)), "v": [f"r{i}" for i in range(300)]})
+    layouts = []
+    for run in ("a", "b"):
+        path = str(tmp_path / run)
+        # different partitioning per run; shard contents must be identical
+        write_sharded(rd.from_arrow(t).repartition(2 if run == "a" else 5),
+                      path, "k", 8)
+        per_shard = {}
+        for d in glob.glob(f"{path}/shard=*"):
+            shard = int(d.rsplit("=", 1)[1])
+            rows = rd.read_parquet(d).to_pandas()
+            per_shard[shard] = sorted(rows.k)
+        layouts.append(per_shard)
+    assert layouts[0] == layouts[1]
+    assert sum(len(v) for v in layouts[0].values()) == 300
