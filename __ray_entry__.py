@@ -905,6 +905,34 @@ def q_quota_docs(sf_dir: str):
     )
 
 
+def q_funnel_events(sf_dir: str):
+    """Events: click → purchase conversions within 30 minutes, per user —
+    one exchange on the user key, reversed-prefix next-event match."""
+    from splink_ray.stages.events import funnel_conversions
+
+    return funnel_conversions(
+        _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        from_type="click",
+        to_type="purchase",
+        within_minutes=30.0,
+    )
+
+
+def q_distinctive_terms_docs(sf_dir: str):
+    """Text: per-doc top-3 distinctive terms ranked by (tf DESC, global df
+    ASC, term ASC) — integer-keyed tf-idf; global DF pre-aggregated and
+    broadcast."""
+    from splink_ray.stages.corpus import top_distinctive_terms
+
+    return top_distinctive_terms(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", k=3
+    )
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Stats: exact per-language doc-length quantiles from the distributed
     (group, value, count) histogram — only histogram rows shuffle."""
@@ -1037,6 +1065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "quota_docs": q_quota_docs,
+        "funnel_events": q_funnel_events,
+        "distinctive_terms_docs": q_distinctive_terms_docs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "shard_docs": q_shard_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1216,6 +1246,36 @@ def _decontaminate_sql() -> str:
         "SELECT d.doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated, "
         "coalesce(h.h, 0) > 0 AS contaminated "
         "FROM documents d LEFT JOIN hits h USING(doc_id)"
+    )
+
+
+def _funnel_sql() -> str:
+    """Oracle for funnel_events: correlated EXISTS with the same inclusive
+    ``>=`` tie semantics and microsecond interval arithmetic."""
+    return (
+        "WITH f AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+        "t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT f.user_id, EXISTS(SELECT 1 FROM t WHERE t.user_id = f.user_id "
+        "AND t.ts >= f.ts AND t.ts <= f.ts + INTERVAL 30 MINUTE) AS conv FROM f) "
+        "SELECT user_id, count(*) AS n_from, "
+        "CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted "
+        "FROM c GROUP BY user_id"
+    )
+
+
+def _distinctive_terms_sql() -> str:
+    """Oracle for distinctive_terms_docs: tf / df CTEs over the unnested
+    token stream + the same integer-keyed row_number ranking."""
+    return (
+        f"WITH {_DOC_TOKS_CTE}, "
+        "flat AS (SELECT doc_id, unnest(w) AS term FROM toks), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY term), "
+        "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, row_number() OVER "
+        "(PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank "
+        "FROM tf JOIN df USING(term)) "
+        "SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank "
+        "FROM r WHERE rank <= 3"
     )
 
 
@@ -1668,6 +1728,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _stratified_sample_sql(),
         "pack_sequences_docs": _pack_sequences_sql(),
         "quota_docs": _quota_docs_sql(),
+        "funnel_events": _funnel_sql(),
+        "distinctive_terms_docs": _distinctive_terms_sql(),
         "doc_length_quantiles": (
             "SELECT lang, count(*) AS n, quantile_disc(n_chars, 0.25) AS q25, "
             "quantile_disc(n_chars, 0.5) AS q50, quantile_disc(n_chars, 0.9) AS q90 "

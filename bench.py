@@ -293,7 +293,7 @@ def main() -> None:
         # only the schedule), 8 buckets per high-leg CPU
         os.environ.setdefault(
             "SPLINK_RAY_NUM_BUCKETS",
-            str(int(os.environ.get("BENCH_SCALE_HI", "32")) * 8),
+            str(int(os.environ.get("BENCH_SCALE_HI", "16")) * 8),
         )
         ensure_fixture(turns)  # generate + warm once, outside both timings
 
@@ -309,13 +309,17 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        # N and 4N CPUs (the sandbox proxy for N vs 4N nodes). Default 8→32;
-        # BENCH_SCALE_LO/HI override — e.g. 4→16 keeps the high leg from
-        # competing with Ray's own system processes (raylet / object store /
-        # driver) for cores, which on a real cluster run on EVERY node's
-        # reserved headroom equally rather than only squeezing the 4N leg
-        lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
-        hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
+        # N and 4N CPUs (the sandbox proxy for N vs 4N nodes). Default 4→16:
+        # this VM's hypervisor throttles sustained full-width load (measured
+        # up to 19% CPU steal at 32-process load, 0% at 16 — BASELINE.md
+        # "Round 3"), so an 8→32 comparison caps ONLY its high leg — an
+        # asymmetry no real N→4N cluster has (every node runs the same
+        # per-node load at both cluster sizes). At 4→16 both legs run below
+        # the throttle and the ratio is clean and reproducible; the per-leg
+        # steal%% is recorded in the output JSON either way so a contaminated
+        # draw carries its own evidence. BENCH_SCALE_LO/HI override.
+        lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+        hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
         r_lo = run(lo)
         r_hi = run(hi)
         # efficiency on the headline linkage pipeline (canonicalize +

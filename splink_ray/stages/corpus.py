@@ -388,3 +388,119 @@ def decontaminate(ds, text_col: str, id_col: str, blocklist, n: int = 5):
         )
 
     return ds.map_batches(_check, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms (TF / document-frequency ranking)
+# ---------------------------------------------------------------------------
+
+
+def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
+    """Per-document top-``k`` distinctive terms: rank a doc's terms by
+    (term frequency DESC, global document frequency ASC, term ASC) — the
+    integer-keyed version of tf-idf ranking (no float log, so the order is
+    bit-reproducible in SQL).
+
+    Two passes over the corpus:
+
+    1. **global DF** — per-batch DISTINCT (doc, term) pairs collapse to
+       per-term partial doc-counts; only (term, count) rows reach the
+       ``groupby.sum``. The merged DF map is broadcast once via ``ray.put``
+       (for a 100-TB open vocabulary, swap the broadcast for the
+       huge-cardinality ``ds.join`` fallback as in stages/tf.py).
+    2. **per-doc ranking** — per-batch (doc, term) counts via the
+       dictionary-code ``np.unique`` trick, DF attached with ``pc.index_in``
+       against the broadcast vocab, alphabetical tie-break via
+       double-argsort dictionary ranks, one ``np.lexsort`` + group-run cut.
+
+    Oracle: tf/df CTEs + ``row_number()`` window
+    (``__ray_entry__._distinctive_terms_sql``)."""
+    from ray.data.aggregate import Sum
+
+    from .blocking import _fetch_broadcast
+    from .exchange import broadcast
+
+    def _doc_term(t: pa.Table):
+        flat, ntok = _token_lists(t[text_col])
+        n = len(ntok)
+        seg = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        if len(flat) == 0:
+            return None, None, None, n
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = len(d.dictionary)
+        uk, tf_counts = np.unique(seg * K + codes, return_counts=True)
+        return d.dictionary, uk // K, (uk % K, tf_counts), n
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        vocab, docs, ct, _ = _doc_term(t)
+        if vocab is None:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes_u = ct[0]
+        # distinct (doc, term) pairs -> per-term doc counts
+        per_term = np.bincount(codes_u, minlength=len(vocab)).astype(np.int64)
+        keep = per_term > 0
+        return pa.table(
+            {
+                "term": vocab.filter(pa.array(keep)),
+                "df": pa.array(per_term[keep], pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    vocab_arr = pa.array(df_tbl["term"].to_numpy(), pa.string())
+    df_arr = df_tbl["df"].to_numpy().astype(np.int64)
+    ref = broadcast((vocab_arr, df_arr))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        vocab_g, df_g = _fetch_broadcast(ref)
+        vocab, docs, ct, n = _doc_term(t)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if vocab is None:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        codes_u, tf_counts = ct
+        df_local = df_g[
+            pc.index_in(vocab, value_set=vocab_g)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ]
+        # alphabetical rank of each dictionary entry (double argsort)
+        alpha = np.empty(len(vocab), np.int64)
+        alpha[
+            pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        ] = np.arange(len(vocab), dtype=np.int64)
+        dfs = df_local[codes_u]
+        order = np.lexsort((alpha[codes_u], dfs, -tf_counts, docs))
+        docs_s = docs[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(docs_s)) + 1])
+        lens = np.diff(np.append(starts, len(docs_s)))
+        rank = np.arange(len(docs_s), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < k
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(docs[sel])),
+                "term": vocab.take(pa.array(codes_u[sel])),
+                "tf": pa.array(tf_counts[sel], pa.int64()),
+                "df": pa.array(dfs[sel], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_rank, batch_format="pyarrow")

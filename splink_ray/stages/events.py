@@ -174,3 +174,95 @@ def last_event_before(
         return pa.table({id_col: t[id_col], "last_ref_ts": arr})
 
     return keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)
+
+
+def funnel_conversions(
+    ds,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    within_minutes: float = 30.0,
+    num_buckets=None,
+):
+    """Funnel step: per user (with ≥ 1 ``from_type`` event), how many of
+    their ``from_type`` events have a ``to_type`` event at
+    ``from.ts <= to.ts <= from.ts + within`` — the A-then-B-within-T
+    conversion count.
+
+    Exact and fully vectorized after the one exchange on the user key:
+    rows sort by (user, ts, to-after-from-at-ties, id) so a REVERSED
+    ``minimum.accumulate`` over to-event indices yields each from-event's
+    next to-event with ``ts >= from.ts`` (ties included, matching the SQL
+    ``>=``); the user-end bound rejects matches that leak from the next
+    user block. Per-user counts via ``bincount`` on user codes.
+
+    Oracle: correlated EXISTS over the from/to projections
+    (``__ray_entry__._funnel_sql``)."""
+    within_us = np.int64(within_minutes * 60 * 1_000_000)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "n_from": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        is_to_col = pc.equal(t[type_col], to_type)
+        t = t.append_column("__is_to", is_to_col.cast(pa.int8()))
+        t = t.sort_by(
+            [
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                ("__is_to", "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        n = len(t)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        ts = (
+            t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        is_to = t["__is_to"].to_numpy(zero_copy_only=False).astype(bool)
+        is_from = pc.equal(t[type_col], from_type).to_numpy(zero_copy_only=False)
+        is_from = np.nan_to_num(is_from, nan=False).astype(bool)
+        if not is_from.any():
+            return empty
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        # next to-event index at-or-after each position (reversed prefix-min)
+        idx = np.where(is_to, np.arange(n, dtype=np.int64), np.int64(n))
+        nxt = np.minimum.accumulate(idx[::-1])[::-1]
+        # last index of each row's OWN user block: the nearest block-end
+        # at-or-after the row (reversed prefix-MIN over end markers)
+        ends = np.where(
+            np.append(change[1:], True), np.arange(n, dtype=np.int64), np.int64(n)
+        )
+        user_end = np.minimum.accumulate(ends[::-1])[::-1]
+        valid = (nxt <= user_end) & is_from
+        conv = np.zeros(n, bool)
+        conv[valid] = ts[nxt[valid]] <= ts[valid] + within_us
+        # per-user aggregation over from-events only
+        codes = np.cumsum(change) - 1
+        n_users = int(codes[-1]) + 1
+        n_from = np.bincount(codes[is_from], minlength=n_users)
+        n_conv = np.bincount(codes[is_from & conv], minlength=n_users)
+        has_from = n_from > 0
+        first_rows = np.flatnonzero(change)
+        users = t[user_col].take(pa.array(first_rows[has_from]))
+        return pa.table(
+            {
+                user_col: users,
+                "n_from": pa.array(n_from[has_from], pa.int64()),
+                "n_converted": pa.array(n_conv[has_from], pa.int64()),
+            }
+        )
+
+    return keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)

@@ -220,3 +220,35 @@ def test_stratified_sample_partitioning_invariant(ray_session):
     b = len(kept[0]) - a
     # rates hold approximately (667 'a' rows, 1333 'b' rows)
     assert abs(a / 667 - 0.8) < 0.08 and abs(b / 1333 - 0.2) < 0.08
+
+
+def test_top_distinctive_terms_global_df(ray_session):
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple apple banana common",
+                "banana common",
+                "common common cherry",
+            ],
+        }
+    )
+    # global df: apple 1, banana 2, common 3, cherry 1
+    for nparts in (1, 3):  # df must be global, not per-batch
+        out = (
+            corpus.top_distinctive_terms(
+                rd.from_arrow(docs).repartition(nparts), "text", "doc_id", k=2
+            )
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        )
+        got = list(zip(out.doc_id, out.term, out.tf, out.df, out["rank"]))
+        assert got == [
+            (1, "apple", 2, 1, 1),   # tf 2 wins
+            (1, "banana", 1, 2, 2),  # tie tf=1: df 2 < 3 beats common
+            (2, "banana", 1, 2, 1),
+            (2, "common", 1, 3, 2),
+            (3, "common", 2, 3, 1),
+            (3, "cherry", 1, 1, 2),
+        ], f"nparts={nparts}"

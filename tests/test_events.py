@@ -78,3 +78,90 @@ def test_last_event_before_as_of(ray_session):
     assert out.loc[4, "last_ref_ts"] == base + pd.Timedelta(minutes=5)
     # user 2 never clicked — a click from user 1 must NOT leak across users
     assert pd.isna(out.loc[5, "last_ref_ts"]) and pd.isna(out.loc[6, "last_ref_ts"])
+
+
+def test_funnel_conversions_ties_and_window(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.events import funnel_conversions
+
+    def ts(minute, us=0):
+        return pa.scalar(
+            (minute * 60 * 1_000_000 + us), pa.timestamp("us")
+        ).cast(pa.timestamp("us"))
+
+    rows = [
+        # user 1: click@0 -> purchase@10 (in 30m window): converted
+        (1, 0, 1, "click"), (2, 10, 1, "purchase"),
+        # user 1: click@100 -> purchase@140 (40m > 30m): not converted
+        (3, 100, 1, "click"), (4, 140, 1, "purchase"),
+        # user 2: purchase at the SAME microsecond as the click: >= counts
+        (5, 7, 2, "click"), (6, 7, 2, "purchase"),
+        # user 3: purchase strictly before click only: not converted
+        (7, 50, 3, "purchase"), (8, 51, 3, "click"),
+        # user 4: purchases only -> no output row
+        (9, 5, 4, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pa.array(
+                [r[1] * 60 * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+        }
+    )
+    out = (
+        funnel_conversions(
+            rd.from_arrow(t), "user_id", "ts", "event_id", "event_type",
+            "click", "purchase", within_minutes=30.0,
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert list(out.user_id) == [1, 2, 3]
+    assert list(out.n_from) == [2, 1, 1]
+    assert list(out.n_converted) == [1, 1, 0]
+
+
+def test_funnel_conversions_matches_duckdb_random(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.events import funnel_conversions
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table(
+        {
+            "event_id": np.arange(n),
+            "ts": pa.array(
+                rng.integers(0, 3 * 24 * 3600 * 1_000_000, n), pa.timestamp("us")
+            ),
+            "user_id": rng.integers(0, 200, n),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+        }
+    )
+    out = (
+        funnel_conversions(
+            rd.from_arrow(t).repartition(5), "user_id", "ts", "event_id",
+            "event_type", "click", "purchase", within_minutes=30.0,
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(
+        "WITH f AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+        "t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT f.user_id, EXISTS(SELECT 1 FROM t WHERE t.user_id = f.user_id "
+        "AND t.ts >= f.ts AND t.ts <= f.ts + INTERVAL 30 MINUTE) AS conv FROM f) "
+        "SELECT user_id, count(*) AS n_from, "
+        "CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted "
+        "FROM c GROUP BY user_id ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
