@@ -954,6 +954,48 @@ def q_shard_docs(sf_dir: str):
     return assign_shards(_ds(sf_dir, "documents", ["doc_id"]), "doc_id", 16)
 
 
+def q_bm25_search_docs(sf_dir: str):
+    """Retrieval: BM25 top-10 for a 3-term probe query — two streaming
+    passes (scalar corpus stats, then score + per-batch top-k prune)."""
+    from splink_ray.stages.search import bm25_search
+
+    return bm25_search(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        ["spark", "hash", "window"], k=10,
+    )
+
+
+def q_dup_spans_docs(sf_dir: str):
+    """Dedup: Lee-et-al exact-substring signal — per-doc distinct word
+    5-grams, how many also occur in another doc, duplicated fraction."""
+    from splink_ray.stages.corpus import dup_span_stats
+
+    return dup_span_stats(_ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", n=5)
+
+
+def q_topic_clusters_embeddings(sf_dir: str):
+    """Clustering: one distributed Lloyd iteration of k-means (k=8, seeded
+    by the 8 smallest vec_ids, broadcast centroids, partial-sum combine)."""
+    from splink_ray.stages.ann import kmeans_topics
+
+    return kmeans_topics(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]), "embedding", "vec_id",
+        k=8, lloyd_iters=1,
+    )
+
+
+def q_temperature_sample_docs(sf_dir: str):
+    """Sampling: temperature-flattened (alpha=0.5) domain mixture over lang
+    strata, expected 200 rows, deterministic md5-cut gate."""
+    from splink_ray.stages.sampling import temperature_sample
+
+    out = temperature_sample(
+        _ds(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", "lang",
+        target_total=200, alpha=0.5,
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -1069,6 +1111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "shard_docs": q_shard_docs,
+        "bm25_search_docs": q_bm25_search_docs,
+        "dup_spans_docs": q_dup_spans_docs,
+        "topic_clusters_embeddings": q_topic_clusters_embeddings,
+        "temperature_sample_docs": q_temperature_sample_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1319,6 +1365,102 @@ def _stratified_sample_sql() -> str:
         "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < "
         "CAST(floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END "
         "* 4294967296.0) AS UBIGINT)"
+    )
+
+
+def _bm25_sql() -> str:
+    """Oracle for bm25_search_docs: tf/df/avgdl CTEs + the Lucene idf
+    ``ln((N − df + 0.5)/(df + 0.5) + 1)``; score half-up-rounded to 6
+    decimals with (score DESC, doc_id) ordering — the engine sums the
+    identical formula per doc (stages/search.py::bm25_search)."""
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+        "length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE str_split(text, ' ') END AS w FROM documents), "
+        "q(term) AS (VALUES ('hash'), ('spark'), ('window')), "
+        "stats AS (SELECT count(*) AS N, sum(len(w)) AS tot FROM toks), "
+        "tf AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM toks "
+        "CROSS JOIN LATERAL (SELECT unnest(w) AS t) u "
+        "JOIN q ON u.t = q.term GROUP BY doc_id, u.t), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+        "dl AS (SELECT doc_id, len(w) AS dl FROM toks), "
+        "scored AS (SELECT tf.doc_id, sum(ln((N - df + 0.5) / (df + 0.5) + 1.0) "
+        "* tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / "
+        "(tot::DOUBLE / N)))) AS s FROM tf JOIN df USING (term) "
+        "JOIN dl USING (doc_id) CROSS JOIN stats GROUP BY tf.doc_id) "
+        "SELECT doc_id, floor(s * 1e6 + 0.5) / 1e6 AS score FROM scored "
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+def _dup_spans_sql() -> str:
+    """Oracle for dup_spans_docs: DISTINCT word-5-gram LATERAL unnest, gram
+    doc-counts, per-doc shared totals; docs with < 5 tokens keep zero rows
+    via the LEFT JOIN (stages/corpus.py::dup_span_stats)."""
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+        "length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE str_split(text, ' ') END AS w FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        "array_to_string(list_slice(w, gs.i + 1, gs.i + 5), ' ') AS g "
+        "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+        "len(w) - 5)) AS i) gs(i) WHERE len(w) >= 5), "
+        "dc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g), "
+        "pd AS (SELECT doc_id, count(*) AS n_spans, "
+        "coalesce(sum(CASE WHEN nd >= 2 THEN 1 END), 0) AS n_shared "
+        "FROM grams JOIN dc USING (g) GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, "
+        "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared, "
+        "floor(CAST(coalesce(n_shared, 0) AS DOUBLE) / "
+        "greatest(coalesce(n_spans, 0), 1) * 1e6 + 0.5) / 1e6 AS dup_frac "
+        "FROM documents d LEFT JOIN pd USING (doc_id)"
+    )
+
+
+def _kmeans_topics_sql() -> str:
+    """Oracle for topic_clusters_embeddings: seeds = embeddings of the 8
+    smallest vec_ids, one Lloyd step (argmin assign → per-dimension avg,
+    half-up-rounded to 6 decimals exactly like the engine — the rounding is
+    what pins numpy/DuckDB float parity), final argmin assignment
+    (stages/ann.py::kmeans_topics)."""
+    argmin = (
+        "SELECT vec_id, c FROM (SELECT e.vec_id, s.c, row_number() OVER "
+        "(PARTITION BY e.vec_id ORDER BY list_distance(e.v, s.v), s.c) AS rn "
+        "FROM e CROSS JOIN {cents} s) WHERE rn = 1"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS "
+        "BIGINT) AS c, v FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)), "
+        f"a0 AS ({argmin.format(cents='seeds')}), "
+        "dims AS (SELECT a0.c, u.d, u.x FROM e JOIN a0 USING (vec_id) "
+        "CROSS JOIN LATERAL (SELECT unnest(v) AS x, "
+        "generate_subscripts(v, 1) AS d) u), "
+        "cent1 AS (SELECT sd.c, list(coalesce(floor(m.mx * 1e6 + 0.5) / 1e6, "
+        "sd.x) ORDER BY sd.d) AS v FROM (SELECT s.c, u.d, u.x FROM seeds s "
+        "CROSS JOIN LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) "
+        "AS d) u) sd(c, d, x) LEFT JOIN (SELECT c, d, avg(x) AS mx FROM dims "
+        "GROUP BY c, d) m ON m.c = sd.c AND m.d = sd.d GROUP BY sd.c), "
+        f"fin AS ({argmin.format(cents='cent1')}) "
+        "SELECT vec_id, c AS topic FROM fin"
+    )
+
+
+def _temperature_sample_sql() -> str:
+    """Oracle for temperature_sample_docs: per-stratum counts → the same
+    ``min(1, target·(n^α/Σ)/n)`` rate arithmetic (half-up to 6 decimals,
+    identical op order) → the engine's md5-cut predicate verbatim
+    (stages/sampling.py::temperature_sample)."""
+    return (
+        "WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n "
+        "FROM documents GROUP BY lang), "
+        "z AS (SELECT sum(power(n, 0.5)) AS z FROM cnt), "
+        "rates AS (SELECT lang, floor(least(1.0, (200.0 * (power(n, 0.5) / z)) "
+        "/ n) * 1e6 + 0.5) / 1e6 AS r FROM cnt CROSS JOIN z) "
+        "SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang) "
+        "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "< CAST(floor(r * 4294967296.0) AS UBIGINT)"
     )
 
 
@@ -1739,6 +1881,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
             "::UBIGINT % 16 AS BIGINT) AS shard FROM documents"
         ),
+        "bm25_search_docs": _bm25_sql(),
+        "dup_spans_docs": _dup_spans_sql(),
+        "topic_clusters_embeddings": _kmeans_topics_sql(),
+        "temperature_sample_docs": _temperature_sample_sql(),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

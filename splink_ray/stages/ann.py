@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .exchange import broadcast, default_parallelism
 
@@ -229,3 +230,120 @@ def ivf_search(index: IVFIndex, query_matrix, query_ids, k: int = 10, nprobe: in
     # distributed per-query merge (the driver never sees k·nq·nbatches rows;
     # round-1 verdict noted the pandas merge as the IVF scale caveat)
     return _merge_topk_distributed(partial, id_col, k)
+
+
+def vecs_to_numpy(col, dtype=np.float64) -> np.ndarray:
+    """Fixed-width ``list<float>`` column -> (n, d) matrix via
+    ``list_flatten`` — no per-element Python objects (``to_pylist`` boxes
+    every float; measured ~20x slower on 5k x 64 batches)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, -1)
+
+# ---------------------------------------------------------------------------
+# Distributed k-means topic clustering (Lloyd iterations with broadcast
+# centroids and in-batch partial-sum combine)
+# ---------------------------------------------------------------------------
+
+
+def _assign_nearest(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c sum_d (x_d - c_d)^2, ties to the lowest cluster index.
+
+    Direct squared-difference form (NOT the ||x||²−2x·c expansion): the
+    sequential per-dimension sum matches the SQL oracle's list_distance
+    bit-for-bit up to summation associativity, so argmin only flips on
+    physical near-ties."""
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def kmeans_topics(
+    ds, vec_col: str, id_col: str, k: int = 8, lloyd_iters: int = 1,
+):
+    """Topic assignment via distributed Lloyd's k-means over an embedding
+    column: (``id_col``, ``topic``) with ``topic`` in ``[0, k)``.
+
+    Deterministic seeding — the embeddings of the ``k`` smallest ids become
+    the initial centroids (at 100-TB scale pick k seed ids by hash instead
+    of the tiny sort·limit; the rest of the plan is unchanged). Each Lloyd
+    iteration is ONE streaming pass: every batch assigns its rows to the
+    nearest broadcast centroid and emits k partial (sum-vector, count)
+    rows; a k-row ``groupby.map_groups`` reduces them and the refreshed
+    centroids (half-up-rounded to 6 decimals, which pins cross-engine float
+    parity) broadcast for the next pass. Empty clusters keep their previous
+    centroid. The final pass assigns and streams out — the driver only ever
+    holds k × dim floats.
+
+    Oracle: seeds CTE + per-dimension ``generate_subscripts`` unnest +
+    ``list_distance`` argmin (``__ray_entry__._kmeans_topics_sql``)."""
+    from .exchange import broadcast
+    from .blocking import _fetch_broadcast
+
+    seed_rows = ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).take_all()
+    cents = np.array([r[vec_col] for r in seed_rows], np.float64)
+    kk = len(cents)
+
+    for _ in range(lloyd_iters):
+        ref = broadcast(cents)
+
+        def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = _fetch_broadcast(_ref)
+            x = vecs_to_numpy(t[vec_col])
+            if len(x) == 0:
+                return pa.table({
+                    "c": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64()),
+                })
+            a = _assign_nearest(x, c)
+            sums = np.zeros((len(c), x.shape[1]), np.float64)
+            np.add.at(sums, a, x)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            keep = n > 0
+            return pa.table({
+                "c": pa.array(np.flatnonzero(keep), pa.int64()),
+                "s": pa.array(list(sums[keep]), pa.list_(pa.float64())),
+                "n": pa.array(n[keep], pa.int64()),
+            })
+
+        def _reduce(t: pa.Table) -> pa.Table:
+            s = np.array(t["s"].to_pylist(), np.float64).sum(axis=0)
+            n = int(pc.sum(t["n"]).as_py())
+            return pa.table({
+                "c": t["c"].slice(0, 1),
+                "s": pa.array([s], pa.list_(pa.float64())),
+                "n": pa.array([n], pa.int64()),
+            })
+
+        rows = (
+            ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("c")
+            .map_groups(_reduce, batch_format="pyarrow")
+            .take_all()
+        )
+        new_cents = cents.copy()
+        for r in rows:
+            new_cents[int(r["c"])] = np.floor(
+                np.asarray(r["s"], np.float64) / r["n"] * 1e6 + 0.5
+            ) / 1e6
+        cents = new_cents
+
+    ref = broadcast(cents)
+
+    def _final(t: pa.Table) -> pa.Table:
+        c = _fetch_broadcast(ref)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        x = vecs_to_numpy(t[vec_col])
+        if len(x) == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "topic": pa.array([], pa.int64())})
+        a = _assign_nearest(x, c)
+        return pa.table({id_col: ids, "topic": pa.array(a, pa.int64())})
+
+    return ds.map_batches(_final, batch_format="pyarrow")

@@ -504,3 +504,122 @@ def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
         )
 
     return ds.map_batches(_rank, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication signal (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — the span-level dedup statistic)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(ds, text_col: str, id_col: str, n: int = 5, num_buckets=None):
+    """Per-document duplicated-span statistics at word ``n``-gram
+    granularity: ``n_spans`` (distinct n-grams in the doc), ``n_shared``
+    (of those, how many also occur in ≥ 1 OTHER document) and
+    ``dup_frac = n_shared / max(n_spans, 1)`` (half-up, 6 decimals) — the
+    signal exact-substring dedup thresholds on.
+
+    Shape at scale: one streaming pass emits per-batch DISTINCT
+    (ngram, doc) pairs; ONE hash exchange keyed on the n-gram co-locates
+    each gram (``keyed_map`` bucket granularity, vectorized group-run scan
+    inside the bucket — no per-group dispatch); per-doc shared counts
+    pre-aggregate inside the bucket so only (doc, partial) rows reach the
+    final small ``groupby.sum``; the per-doc totals stream in a second
+    pass and meet the shared counts in a keyed ``join`` (never a driver
+    materialization). At 100 TB the n-gram key should be a 128-bit hash
+    instead of the string (same plan, narrower exchange).
+
+    Oracle: DISTINCT-gram LATERAL unnest + doc-count CTE
+    (``__ray_entry__._dup_spans_sql``)."""
+    from .exchange import default_parallelism, group_starts, keyed_map
+
+    def _distinct_pairs(t: pa.Table) -> pa.Table:
+        grams, seg, n_docs = _ngram_windows(t[text_col], n)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(grams) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             id_col: ids.slice(0, 0)})
+        d = pc.dictionary_encode(grams)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = len(d.dictionary)
+        uk = np.unique(seg * K + codes)
+        return pa.table(
+            {
+                "ngram": d.dictionary.take(pa.array(uk % K)),
+                id_col: ids.take(pa.array(uk // K)),
+            }
+        )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        grams, seg, n_docs = _ngram_windows(t[text_col], n)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n_spans = np.zeros(n_docs, np.int64)
+        if len(grams):
+            d = pc.dictionary_encode(grams)
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            K = len(d.dictionary)
+            uk = np.unique(seg * K + codes)
+            n_spans = np.bincount(uk // K, minlength=n_docs)
+        return pa.table({id_col: ids, "n_spans": pa.array(n_spans, pa.int64())})
+
+    def _bucket_shared(t: pa.Table) -> pa.Table:
+        # all rows of every gram hashing here; rows are (gram, doc) distinct
+        order = pc.sort_indices(t["ngram"])
+        g = t["ngram"].take(order)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.take(order)
+        starts = group_starts(g)
+        sizes = np.diff(np.append(starts, len(g)))
+        shared = np.repeat(sizes >= 2, sizes)
+        ids_sh = ids.filter(pa.array(shared))
+        if len(ids_sh) == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "n_shared": pa.array([], pa.int64())})
+        vc = pc.value_counts(ids_sh)
+        return pa.table(
+            {id_col: vc.field("values"),
+             "n_shared": vc.field("counts").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(_distinct_pairs, batch_format="pyarrow")
+    shared = (
+        keyed_map(pairs, "ngram", _bucket_shared, num_buckets=num_buckets)
+        .groupby(id_col)
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+        .rename_columns({id_col: "__sid"})
+    )
+    totals = ds.map_batches(_totals, batch_format="pyarrow")
+    joined = totals.join(
+        shared,
+        join_type="left_outer",
+        num_partitions=max(2, default_parallelism() // 2),
+        on=(id_col,),
+        right_on=("__sid",),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        ns = pc.fill_null(t["n_shared"], 0).cast(pa.int64())
+        nsp = t["n_spans"].combine_chunks() if isinstance(
+            t["n_spans"], pa.ChunkedArray
+        ) else t["n_spans"]
+        spans = nsp.to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = ns.to_numpy(zero_copy_only=False) / np.maximum(spans, 1.0)
+        frac6 = np.floor(frac * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_spans": t["n_spans"],
+                "n_shared": ns,
+                "dup_frac": pa.array(frac6, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_finish, batch_format="pyarrow")

@@ -143,3 +143,31 @@ def write_sharded(ds, path: str, key_col: str, num_shards: int):
     assign_shards(ds, key_col, num_shards).write_parquet(
         path, partition_cols=["shard"]
     )
+
+
+def temperature_sample(
+    ds, key_col: str, strata_col: str, target_total: int, alpha: float = 0.5,
+):
+    """Domain-mixture rebalancing (the multilingual-corpus "temperature
+    sampling" shape): stratum ``s`` with ``n_s`` rows gets sampling weight
+    ``w_s = n_s^alpha``; the expected sample size is ``target_total`` split
+    proportionally to ``w_s``, i.e. per-stratum keep-rate
+    ``min(1, target_total * (w_s / sum w) / n_s)`` — flattening the stratum
+    distribution toward uniform as ``alpha`` drops below 1.
+
+    One tiny ``groupby.count`` over the strata (pre-aggregated; strata are
+    few), rates half-up-rounded to 6 decimals (pins float parity with the
+    SQL oracle's identical formula), then the streaming md5-cut gate of
+    :func:`stratified_sample` — no exchange over the corpus, deterministic
+    at any partitioning. Oracle: counts CTE + the same rate arithmetic
+    (``__ray_entry__._temperature_sample_sql``)."""
+    from ray.data.aggregate import Count
+
+    cnt = ds.groupby(strata_col).aggregate(Count(alias_name="n")).take_all()
+    names = [r[strata_col] for r in cnt]
+    n = np.array([r["n"] for r in cnt], np.float64)
+    w = n ** alpha
+    rate = np.minimum(1.0, target_total * (w / w.sum()) / n)
+    rate6 = np.floor(rate * 1e6 + 0.5) / 1e6
+    rates = dict(zip(names, rate6))
+    return stratified_sample(ds, key_col, rates, strata_col, default_rate=0.0)

@@ -252,3 +252,43 @@ def test_top_distinctive_terms_global_df(ray_session):
             (3, "common", 2, 3, 1),
             (3, "cherry", 1, 1, 2),
         ], f"nparts={nparts}"
+
+
+def test_dup_span_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    # docs 1 & 2 share the 3-gram "a b c"; doc 3 is disjoint; doc 4 too short
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b c d", "x a b c", "p q r s", "u v"],
+            }
+        )
+    )
+    out = (
+        corpus.dup_span_stats(ds, "text", "doc_id", n=3, num_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_spans.tolist() == [2, 2, 2, 0]
+    assert out.n_shared.tolist() == [1, 1, 0, 0]
+    assert out.dup_frac.tolist() == [0.5, 0.5, 0.0, 0.0]
+
+
+def test_dup_span_stats_counts_distinct_not_positional(ray_session):
+    import ray.data as rd
+
+    # "a b a b a b": positional 2-grams = 5, DISTINCT = {"a b", "b a"} = 2
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["a b a b a b", "b a x"]})
+    )
+    out = (
+        corpus.dup_span_stats(ds, "text", "doc_id", n=2, num_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_spans.tolist() == [2, 2]  # distinct grams per doc
+    assert out.n_shared.tolist() == [1, 1]  # "b a" shared

@@ -315,3 +315,113 @@ def test_multimodal_pipeline(ray_session):
         multimodal.decode_images(rd.from_arrow(fake_png), strict=True).to_pandas()
     strict_ok = multimodal.decode_images(ds, strict=True).to_pandas()
     assert (strict_ok.width == 32).all()
+
+
+def test_bm25_matches_reference_formula(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.search import bm25_search
+
+    texts = ["cat dog", "cat cat cat", "dog dog bird", "fish"]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}))
+    out = (
+        bm25_search(ds, "text", "doc_id", ["cat"], k=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # hand-computed: N=4, df(cat)=2, avgdl=9/4
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.25))
+
+    exp = sorted(
+        [(1, score(1, 2)), (2, score(3, 3))], key=lambda p: (-p[1], p[0])
+    )
+    assert out.doc_id.tolist() == [d for d, _ in exp]
+    for got, (_, s) in zip(out.score, exp):
+        assert abs(got - s) < 2e-6  # half-up 6-decimal rounding
+
+
+def test_bm25_local_prune_preserves_global_topk(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.search import bm25_search
+
+    # 40 docs with increasing tf; split into many blocks so per-batch top-k
+    # pruning must still surface the global winners
+    texts = ["term " * (i % 7 + 1) for i in range(40)]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": [t.strip() for t in texts]})
+    ).repartition(8)
+    out = bm25_search(ds, "text", "doc_id", ["term"], k=5).to_pandas()
+    # all docs same dl-per-tf pattern: winners are the tf=7 docs (ids 6,13,..)
+    assert out.doc_id.tolist() == [6, 13, 20, 27, 34]
+
+
+def test_kmeans_topics_recovers_separated_blobs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.ann import kmeans_topics
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    # vec_id i belongs to blob i % 3 — so the 3 smallest ids (the seeds)
+    # land one per blob and Lloyd converges to the planted structure
+    blob = np.arange(90) % 3
+    pts = centers[blob] + rng.normal(0, 0.3, (90, 2))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(90).tolist(),
+                "embedding": [list(map(float, p)) for p in pts],
+            }
+        )
+    ).repartition(4)
+    out = kmeans_topics(ds, "embedding", "vec_id", k=3, lloyd_iters=2).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    for b in range(3):
+        topics = out.topic[blob == b]
+        assert topics.nunique() == 1, f"blob {b} split: {set(topics)}"
+    assert out.topic.nunique() == 3
+
+
+def test_temperature_sample_rates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.sampling import temperature_sample
+
+    # two strata 900/100: alpha=0 equalizes expected counts, alpha=1 keeps
+    # proportions; check monotonicity + determinism across partitionings
+    n_a, n_b = 900, 100
+    tbl = pa.table(
+        {
+            "k": list(range(n_a + n_b)),
+            "s": ["a"] * n_a + ["b"] * n_b,
+        }
+    )
+    got = {}
+    for alpha in (0.0, 0.5, 1.0):
+        out = (
+            temperature_sample(rd.from_arrow(tbl), "k", "s", 400, alpha)
+            .to_pandas()
+        )
+        got[alpha] = out.groupby("s").size().to_dict()
+    # flattening: stratum b's share grows as alpha drops
+    share = {a: got[a].get("b", 0) / max(sum(got[a].values()), 1) for a in got}
+    assert share[0.0] > share[0.5] > share[1.0]
+    # determinism across partitionings
+    o1 = temperature_sample(rd.from_arrow(tbl), "k", "s", 400, 0.5).to_pandas()
+    o2 = (
+        temperature_sample(rd.from_arrow(tbl).repartition(7), "k", "s", 400, 0.5)
+        .to_pandas()
+    )
+    assert sorted(o1.k) == sorted(o2.k)
