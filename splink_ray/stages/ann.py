@@ -37,7 +37,9 @@ class _BruteTopK:
         self.vec_col, self.id_col, self.k = vec_col, id_col, k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = _normalize(np.asarray(t[self.vec_col].to_pylist(), np.float64))
+        if len(t) == 0:
+            return pa.table({"query_id": pa.array([]), self.id_col: t[self.id_col], "score": pa.array([], pa.float64())})
+        vecs = _normalize(vecs_to_numpy(t[self.vec_col]))
         ids = t[self.id_col]
         sims = vecs @ self.Q  # (n, nq)
         k = min(self.k, sims.shape[0])
@@ -158,7 +160,7 @@ def ivf_build(
             self.C = ray.get(c_ref).T
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(np.asarray(t[vec_col].to_pylist(), np.float64))
+            vecs = _normalize(vecs_to_numpy(t[vec_col]))
             assign = np.argmax(vecs @ self.C, axis=1).astype(np.int32)
             return t.append_column("__ivf_cell", pa.array(assign))
 
@@ -195,7 +197,7 @@ def ivf_search(index: IVFIndex, query_matrix, query_ids, k: int = 10, nprobe: in
             self.probe = q["probe"]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(np.asarray(t[vec_col].to_pylist(), np.float64))
+            vecs = _normalize(vecs_to_numpy(t[vec_col]))
             cell = t["__ivf_cell"].to_numpy(zero_copy_only=False)
             ids = t[id_col]
             sims = vecs @ self.Q

@@ -567,7 +567,8 @@ def _embedding_cosine_bucketed(ds_keyed, vec_col, id_col, threshold, num_buckets
     def _bucket(t: pa.Table) -> pa.Table:
         li, ri, ts = _pairs_in_buckets(t, "__g", id_col)
         ids = ts[id_col]
-        vecs = np.asarray(ts[vec_col].to_pylist(), np.float64)
+        from .ann import vecs_to_numpy
+        vecs = vecs_to_numpy(ts[vec_col])
         if len(li) == 0:
             return pa.table(
                 {"id_l": pa.array([], ids.type), "id_r": pa.array([], ids.type),
@@ -606,7 +607,8 @@ def embedding_cosine_pairs(
     def _key(t: pa.Table) -> pa.Table:
         if not lsh:
             return t.append_column("__g", pa.array(["1"] * len(t), pa.string()))
-        vecs = np.asarray(t[vec_col].to_pylist(), np.float64)
+        from .ann import vecs_to_numpy
+        vecs = vecs_to_numpy(t[vec_col])
         keys = hashing.random_hyperplane_signature(vecs, n_planes)
         return t.append_column("__g", pa.array([f"{k:x}" for k in keys], pa.string()))
 
