@@ -996,6 +996,25 @@ def q_temperature_sample_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_dedup_against_docs(sf_dir: str):
+    """Dedup: cross-corpus anti-join — documents whose md5 content does NOT
+    appear in the deterministic doc_id % 37 == 0 'reference' subset (the
+    dedupe-new-crawl-against-training-set shape); distributed left_outer
+    join on the content hash, survivors = null-marker rows."""
+    from splink_ray.stages.dedup import dedup_against
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ref(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        return t.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 37), 37)), 0))
+
+    ref = ds.map_batches(_ref, batch_format="pyarrow")
+    return dedup_against(ds, ref, "text", "doc_id").select_columns(["doc_id"])
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -1115,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_docs": q_dup_spans_docs,
         "topic_clusters_embeddings": q_topic_clusters_embeddings,
         "temperature_sample_docs": q_temperature_sample_docs,
+        "dedup_against_docs": q_dedup_against_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1885,6 +1905,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_docs": _dup_spans_sql(),
         "topic_clusters_embeddings": _kmeans_topics_sql(),
         "temperature_sample_docs": _temperature_sample_sql(),
+        "dedup_against_docs": (
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents r WHERE r.doc_id % 37 = 0 "
+            "AND md5(coalesce(r.text, '')) = md5(coalesce(d.text, '')))"
+        ),
         "embedding_dedup_groups": (
             "WITH RECURSIVE e AS (SELECT l.vec_id AS a, r.vec_id AS b "
             "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "

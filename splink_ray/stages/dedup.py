@@ -644,3 +644,75 @@ def embedding_dedup_groups(
     )
     clustered, _ = cluster_pairwise_predictions_at_threshold(records, preds, None)
     return clustered.rename_columns({"unique_id": str(id_col), "cluster_id": "dup_group_id"})
+
+
+def dedup_against(
+    ds, ref_ds, text_col: str, id_col: str,
+    ref_text_col: str | None = None, method: str = "join",
+    num_partitions: int | None = None,
+):
+    """Cross-corpus exact dedup: drop rows of ``ds`` whose ``text_col``
+    content (md5) also appears in ``ref_ds`` — the "dedupe a new crawl
+    against the existing training set" shape. Returns the surviving rows of
+    ``ds`` with all original columns.
+
+    ``method="join"`` (default, the 100-TB path): distinct reference hashes
+    meet the corpus in a hash-partitioned ``left_outer`` join and survivors
+    are the null-marker rows — an anti-join; both sides stream, nothing
+    materializes on the driver. ``method="broadcast"``: the distinct
+    reference hash set ships once via ``ray.put`` and the gate is a
+    vectorized ``is_in`` — right when the reference fits in memory
+    (a benchmark suite, a blocklist), one exchange cheaper.
+
+    Oracle: ``WHERE NOT EXISTS (… md5(text) = md5(ref))``
+    (``__ray_entry__._dedup_against_sql``)."""
+    from ..functions.hashing import content_hash
+    from .exchange import broadcast as bcast
+    from .exchange import default_parallelism
+
+    rcol = ref_text_col or text_col
+
+    def _hash(t: pa.Table) -> pa.Table:
+        return t.append_column("__h", pa.array(content_hash(t[text_col]), pa.string()))
+
+    def _ref_hashes(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.array(content_hash(t[rcol]), pa.string()))
+        # Ray's join drops the right key column from the output, so carry an
+        # explicit hit marker for the anti-join's null test
+        return pa.table({"__rh": u, "__hit": pa.array(np.ones(len(u), np.int8))})
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    ref_h = ref_ds.map_batches(_ref_hashes, batch_format="pyarrow")
+
+    if method == "broadcast":
+        vals = pa.array(
+            sorted({r["__rh"] for r in ref_h.take_all()}), pa.string()
+        )
+        ref = bcast(vals)
+
+        def _gate(t: pa.Table) -> pa.Table:
+            from .blocking import _fetch_broadcast
+
+            bl = _fetch_broadcast(ref)
+            hit = pc.is_in(t["__h"], value_set=bl)
+            return t.filter(pc.invert(hit)).drop_columns(["__h"])
+
+        return hashed.map_batches(_gate, batch_format="pyarrow")
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
+    # distinct the reference hashes globally so the join side is minimal
+    ref_h = ref_h.groupby("__rh").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    nparts = num_partitions or max(2, default_parallelism() // 2)
+    joined = hashed.join(
+        ref_h, join_type="left_outer", num_partitions=nparts,
+        on=("__h",), right_on=("__rh",),
+    )
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["__hit"])
+        return t.filter(keep).drop_columns(["__h", "__hit"])
+
+    return joined.map_batches(_survivors, batch_format="pyarrow")

@@ -425,3 +425,33 @@ def test_temperature_sample_rates(ray_session):
         .to_pandas()
     )
     assert sorted(o1.k) == sorted(o2.k)
+
+
+def test_dedup_against_join_and_broadcast_agree(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import dedup_against
+
+    corpus = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha", "beta", "gamma", "alpha", "delta"],
+        }
+    )
+    ref = pa.table({"doc_id": [10, 11], "text": ["alpha", "gamma"]})
+    for method in ("join", "broadcast"):
+        out = (
+            dedup_against(
+                rd.from_arrow(corpus).repartition(3),
+                rd.from_arrow(ref),
+                "text",
+                "doc_id",
+                method=method,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # both copies of "alpha" and the "gamma" row are removed
+        assert out.doc_id.tolist() == [2, 5], method
+        assert list(out.columns) == ["doc_id", "text"]
