@@ -1015,6 +1015,41 @@ def q_dedup_against_docs(sf_dir: str):
     return dedup_against(ds, ref, "text", "doc_id").select_columns(["doc_id"])
 
 
+def q_jaccard_against_docs(sf_dir: str):
+    """Dedup: FUZZY cross-corpus decontamination — corpus docs near-matching
+    (exact token Jaccard ≥ 0.7) a reference set built deterministically as
+    the doc_id % 37 == 0 docs with their last 3 words dropped; LSH proposes
+    only cross-side candidates, exact verify gates the output."""
+    import numpy as np
+
+    from splink_ray.stages.corpus import _token_lists, _window_join
+    from splink_ray.stages.dedup import ngram_jaccard_against
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ref(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        t = t.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 37), 37)), 0))
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        flat, ntok = _token_lists(t["text"])
+        starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": _window_join(flat, starts, np.maximum(ntok - 3, 0)),
+            }
+        )
+
+    ref = ds.map_batches(_ref, batch_format="pyarrow")
+    return ngram_jaccard_against(ds, ref, "text", "doc_id", threshold=0.7)
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Dedup: embedding near-dup groups end to end (pairs → CC → min-id
     group), brute baseline for the oracle."""
@@ -1135,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_clusters_embeddings": q_topic_clusters_embeddings,
         "temperature_sample_docs": q_temperature_sample_docs,
         "dedup_against_docs": q_dedup_against_docs,
+        "jaccard_against_docs": q_jaccard_against_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "flagship_predict": q_flagship_predict,
@@ -1905,6 +1941,20 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_docs": _dup_spans_sql(),
         "topic_clusters_embeddings": _kmeans_topics_sql(),
         "temperature_sample_docs": _temperature_sample_sql(),
+        "jaccard_against_docs": (
+            # fuzzy decontamination oracle: exact token Jaccard over the
+            # corpus x (truncated benchmark subset) cross join
+            "WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents), "
+            "ref AS (SELECT doc_id AS ref_id, array_to_string(list_slice(w, 1, "
+            "greatest(len(w) - 3, 0)), ' ') AS rt FROM w WHERE doc_id % 37 = 0), "
+            "pairs AS (SELECT d.doc_id, r.ref_id, "
+            "len(list_intersect(list_distinct(str_split(d.text, ' ')), "
+            "list_distinct(str_split(r.rt, ' '))))::DOUBLE / "
+            "len(list_distinct(list_concat(str_split(d.text, ' '), "
+            "str_split(r.rt, ' ')))) AS j FROM documents d CROSS JOIN ref r) "
+            "SELECT doc_id, ref_id, round(j, 6) AS jaccard FROM pairs "
+            "WHERE j >= 0.7"
+        ),
         "dedup_against_docs": (
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents r WHERE r.doc_id % 37 = 0 "

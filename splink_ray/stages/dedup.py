@@ -716,3 +716,135 @@ def dedup_against(
         return t.filter(keep).drop_columns(["__h", "__hit"])
 
     return joined.map_batches(_survivors, batch_format="pyarrow")
+
+
+def ngram_jaccard_against(
+    ds, ref_ds, text_col: str, id_col: str,
+    ref_text_col: str | None = None, ref_id_col: str | None = None,
+    threshold: float = 0.7, num_perm: int = 128, bands: int = 32,
+    est_margin: float = 0.2, num_buckets=None,
+):
+    """Fuzzy cross-corpus decontamination: (corpus id, reference id, exact
+    whitespace-token Jaccard ≥ threshold) pairs — near-duplicate matches of
+    corpus documents against a benchmark/reference set, the fuzzy
+    counterpart of :func:`dedup_against`.
+
+    Shape at scale: BOTH sides stream through the same word-1-gram MinHash
+    signer; the union exchanges once on the band key; inside each bucket
+    only CROSS-side pairs are generated (corpus×corpus and ref×ref pairs —
+    the quadratic bulk — are never formed), each pair emitted exactly once
+    globally via the first-shared-band rule, pre-filtered on the
+    signature-estimated Jaccard ≥ threshold − margin; survivors join the
+    texts back for the EXACT token-Jaccard verify. Output is
+    exact-Jaccard-true; recall is approximate (LSH — misses vanish as
+    bands·perm grow).
+
+    Oracle: corpus × reference cross join on exact list-token Jaccard
+    (``__ray_entry__._jaccard_against_sql``)."""
+    from .exchange import default_parallelism, group_starts
+
+    rtc = ref_text_col or text_col
+    ric = ref_id_col or id_col
+    signer_c = MinHashSigner(text_col, "__cid", num_perm, bands, 1, True)
+    signer_r = MinHashSigner(rtc, "__cid", num_perm, bands, 1, True)
+
+    def _sign_side(signer, idc, side):
+        def _f(t: pa.Table) -> pa.Table:
+            t2 = t.rename_columns(
+                [("__cid" if c == idc else c) for c in t.column_names]
+            )
+            out = signer(t2)
+            return out.append_column(
+                "__side", pa.array(np.full(len(out), side, np.int8))
+            )
+        return _f
+
+    sc = ds.select_columns([id_col, text_col]).map_batches(
+        _sign_side(signer_c, id_col, 0), batch_format="pyarrow"
+    )
+    sr = ref_ds.select_columns([ric, rtc]).map_batches(
+        _sign_side(signer_r, ric, 1), batch_format="pyarrow"
+    )
+    exploded = sc.union(sr)
+    est_cut = max(threshold - est_margin, 0.0)
+
+    def _bucket_cross(t: pa.Table) -> pa.Table:
+        ts = t.sort_by(
+            [("band_key", "ascending"), ("__side", "ascending"),
+             ("__cid", "ascending")]
+        )
+        ids = ts["__cid"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        side = ts["__side"].to_numpy(zero_copy_only=False)
+        S = _sig_matrix(ts["sig"], len(ts), num_perm)
+        band = ts["band"].to_numpy(zero_copy_only=False)
+        BV = minhash_band_values(S, bands) if len(ts) else np.empty((0, bands), np.int64)
+        key = ts["band_key"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        starts = group_starts(key)
+        ends = np.append(starts[1:], len(ts))
+        li, ri = [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            n0 = int((sd == 0).sum())
+            n1 = (e - s) - n0
+            if n0 == 0 or n1 == 0:
+                continue
+            a = np.repeat(np.arange(s, s + n0, dtype=np.int64), n1)
+            b = np.tile(np.arange(s + n0, e, dtype=np.int64), n0)
+            li.append(a)
+            ri.append(b)
+        empty = pa.table(
+            {"id_l": pa.array([], ids.type), "id_r": pa.array([], ids.type)}
+        )
+        if not li:
+            return empty
+        cl, cr = np.concatenate(li), np.concatenate(ri)
+        # exactly-once global emission: only the first band both sides share
+        first_shared = np.argmax(BV[cl] == BV[cr], axis=1)
+        own = first_shared == band[cl]
+        cl, cr = cl[own], cr[own]
+        if len(cl) == 0:
+            return empty
+        est = (S[cl] == S[cr]).mean(axis=1)
+        keep = est >= est_cut
+        return pa.table(
+            {
+                "id_l": ids.take(pa.array(cl[keep], pa.int64())),
+                "id_r": ids.take(pa.array(cr[keep], pa.int64())),
+            }
+        )
+
+    cand = keyed_map(exploded, "band_key", _bucket_cross, num_buckets=num_buckets)
+
+    # exact verify: join both texts back (corpus side then reference side)
+    nparts = max(2, default_parallelism() // 2)
+    ctexts = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["__jid_l", "__text_l"]), batch_format="pyarrow"
+    )
+    rtexts = ref_ds.select_columns([ric, rtc]).map_batches(
+        lambda t: t.rename_columns(["__jid_r", "__text_r"]), batch_format="pyarrow"
+    )
+    j = cand.join(ctexts, join_type="inner", num_partitions=nparts,
+                  on=("id_l",), right_on=("__jid_l",))
+    j = j.join(rtexts, join_type="inner", num_partitions=nparts,
+               on=("id_r",), right_on=("__jid_r",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        jac = (
+            _jaccard_tokens_fast(t["__text_l"], t["__text_r"])
+            if len(t) else np.empty(0, np.float64)
+        )
+        keep = jac >= threshold
+        out = pa.table(
+            {
+                id_col: t["id_l"],
+                "ref_id": t["id_r"],
+                "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(_verify, batch_format="pyarrow")

@@ -455,3 +455,40 @@ def test_dedup_against_join_and_broadcast_agree(ray_session):
         # both copies of "alpha" and the "gamma" row are removed
         assert out.doc_id.tolist() == [2, 5], method
         assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_ngram_jaccard_against_cross_side_only(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import ngram_jaccard_against
+
+    corpus = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog today",
+                "entirely different words in this one here now",
+            ],
+        }
+    )
+    # docs 1 and 2 are near-dups of each OTHER but the reference contains
+    # only doc 1's text — corpus-internal pairs must NOT be emitted
+    ref = pa.table(
+        {"rid": [7], "rtext": ["the quick brown fox jumps over the lazy dog"]}
+    )
+    out = (
+        ngram_jaccard_against(
+            rd.from_arrow(corpus).repartition(2), rd.from_arrow(ref),
+            "text", "doc_id", ref_text_col="rtext", ref_id_col="rid",
+            threshold=0.7,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.ref_id.tolist() == [7, 7]
+    assert out.jaccard.iloc[0] == 1.0
+    assert 0.7 <= out.jaccard.iloc[1] < 1.0
