@@ -922,6 +922,28 @@ def q_funnel_events(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Events: Markov transition counts + probabilities between consecutive
+    event types per user — one exchange on the user key, per-bucket
+    pre-aggregated (from, to, n) partials, tiny driver normalisation."""
+    from splink_ray.stages.events import event_transitions
+
+    return event_transitions(
+        _ds(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        "user_id", "ts", "event_id", "event_type",
+    )
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Corpus: top-20 bigram collocations by PMI (min_count=5) — per-batch
+    pre-aggregated gram counts, bounded unigram hash joins."""
+    from splink_ray.stages.corpus import pmi_collocations
+
+    return pmi_collocations(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", k=20, min_count=5
+    )
+
+
 def q_distinctive_terms_docs(sf_dir: str):
     """Text: per-doc top-3 distinctive terms ranked by (tf DESC, global df
     ASC, term ASC) — integer-keyed tf-idf; global DF pre-aggregated and
@@ -1162,6 +1184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": q_pack_sequences_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
+        "event_transitions": q_event_transitions,
+        "pmi_collocations": q_pmi_collocations,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "shard_docs": q_shard_docs,
@@ -1927,6 +1951,31 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_docs": _pack_sequences_sql(),
         "quota_docs": _quota_docs_sql(),
         "funnel_events": _funnel_sql(),
+        "event_transitions": (
+            "WITH seq AS (SELECT user_id, event_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS from_type, nxt AS to_type, count(*) AS n, "
+            "round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p "
+            "FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt"
+        ),
+        "pmi_collocations": (
+            "WITH toks AS (SELECT CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[]) "
+            "ELSE str_split(text, ' ') END AS w FROM documents), "
+            "uni AS (SELECT unnest(w) AS g FROM toks), "
+            "ucnt AS (SELECT g, count(*) AS n FROM uni GROUP BY g), "
+            "tu AS (SELECT count(*) AS t FROM uni), "
+            "big AS (SELECT w[gs.i + 1] AS w1, w[gs.i + 2] AS w2, "
+            "array_to_string(list_slice(w, gs.i + 1, gs.i + 2), ' ') AS gram "
+            "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+            "len(w) - 2)) AS i) gs WHERE len(w) >= 2), "
+            "bcnt AS (SELECT gram, w1, w2, count(*) AS n FROM big GROUP BY gram, w1, w2) "
+            "SELECT bcnt.gram AS gram, bcnt.n AS n, "
+            "round(ln((bcnt.n::DOUBLE / tb.b) / ((u1.n::DOUBLE / tu.t) * "
+            "(u2.n::DOUBLE / tu.t))), 6) AS pmi "
+            "FROM bcnt, (SELECT count(*) AS b FROM big) tb, tu, ucnt u1, ucnt u2 "
+            "WHERE bcnt.w1 = u1.g AND bcnt.w2 = u2.g AND bcnt.n >= 5 "
+            "ORDER BY pmi DESC, gram LIMIT 20"
+        ),
         "distinctive_terms_docs": _distinctive_terms_sql(),
         "doc_length_quantiles": (
             "SELECT lang, count(*) AS n, quantile_disc(n_chars, 0.25) AS q25, "

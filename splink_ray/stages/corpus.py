@@ -623,3 +623,139 @@ def dup_span_stats(ds, text_col: str, id_col: str, n: int = 5, num_buckets=None)
         )
 
     return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
+    """Top-k bigram collocations ranked by pointwise mutual information.
+
+    PMI(w1, w2) = ln( (n12/B) / ((n1/T) * (n2/T)) ) over whitespace word
+    tokens, where T/B are the corpus unigram/bigram totals; only bigrams
+    seen at least ``min_count`` times rank (the classic low-frequency PMI
+    guard).
+
+    Scale shape: one pass over the corpus emits per-batch pre-aggregated
+    (gram, kind, partial n) rows — raw tokens never shuffle; the merged
+    count table (vocab-sized, NOT corpus-sized) is materialized once and
+    reused for totals, candidates and unigram sides; unigram counts attach
+    to the min_count-filtered candidates via bounded hash joins, so the
+    vocabulary is never collected on the driver. Returns a pandas DataFrame
+    (gram, n, pmi) with pmi rounded to 6 decimals, ordered by
+    (pmi desc, gram asc).
+    """
+    from ray.data.aggregate import Sum
+
+    from .exchange import default_parallelism
+
+    empty_counts = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "kind": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t[text_col])
+        if len(flat) == 0:
+            return empty_counts
+        uni = (
+            pa.table({"gram": flat})
+            .group_by("gram", use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["gram", "n"])
+        )
+        uni = uni.append_column("kind", pa.array(["u"] * len(uni), pa.string()))
+        parts = [uni.select(["gram", "kind", "n"])]
+        counts = np.maximum(ntok - 1, 0)
+        if counts.sum() > 0:
+            doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+            starts_abs = np.repeat(doc_starts, counts) + _segment_arange(counts)
+            grams = _window_join(flat, starts_abs, np.full(len(starts_abs), 2, np.int64))
+            big = (
+                pa.table({"gram": grams})
+                .group_by("gram", use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["gram", "n"])
+            )
+            big = big.append_column("kind", pa.array(["b"] * len(big), pa.string()))
+            parts.append(big.select(["gram", "kind", "n"]))
+        return pa.concat_tables(parts)
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["gram", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-sized aggregate, reused 3x below
+    )
+
+    totals = counts.groupby("kind").aggregate(Sum("n", alias_name="tot")).to_pandas()
+    tot = dict(zip(totals["kind"], totals["tot"]))
+    T = float(tot.get("u", 0))
+    B = float(tot.get("b", 0))
+    if B == 0 or T == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"gram": [], "n": [], "pmi": []})
+
+    def _cand(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.equal(t["kind"], "b"), pc.greater_equal(t["n"], min_count))
+        )
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                }
+            )
+        parts = pc.split_pattern(t["gram"].combine_chunks(), " ")
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "n": t["n"],
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+            }
+        )
+
+    def _uni(suffix):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["kind"], "u"))
+            return pa.table({f"__w{suffix}": t["gram"], f"n{suffix}": t["n"]})
+
+        return fn
+
+    cand = counts.map_batches(_cand, batch_format="pyarrow")
+    nparts = max(2, default_parallelism() // 2)
+    j = cand.join(
+        counts.map_batches(_uni(1), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts, on=("w1",), right_on=("__w1",),
+    )
+    j = j.join(
+        counts.map_batches(_uni(2), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts, on=("w2",), right_on=("__w2",),
+    )
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        n12 = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = t["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n2 = t["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # mirror the oracle's arithmetic order exactly
+        pmi = np.log((n12 / B) / ((n1 / T) * (n2 / T)))
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "n": t["n"],
+                "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+            }
+        )
+
+    out = (
+        j.map_batches(_pmi, batch_format="pyarrow")
+        .sort(["pmi", "gram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)

@@ -266,3 +266,60 @@ def funnel_conversions(
         )
 
     return keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)
+
+
+def event_transitions(
+    ds, user_col: str, ts_col: str, id_col: str, type_col: str,
+    num_buckets=None,
+):
+    """Markov transition statistics over per-user event sequences.
+
+    For every pair of consecutive events of the same user (ordered by
+    ``ts`` then ``id``), counts the (from_type -> to_type) transition and
+    computes the transition probability ``p = n / sum(n)`` over each
+    ``from_type`` row.
+
+    Scale shape: raw events exchange once on the user key (co-location is
+    required to see consecutive pairs); each bucket emits pre-aggregated
+    (from_type, to_type, partial n) rows, so only a types^2-sized table ever
+    shuffles again. The final probability normalisation runs on that tiny
+    aggregate driver-side. Returns a pandas DataFrame
+    (from_type, to_type, n, p) with p rounded to 6 decimals.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        t, change = _sorted_user_blocks(t, user_col, ts_col, id_col)
+        # rows that continue the previous row's user pair with it
+        cont = np.flatnonzero(~change)
+        if len(cont) == 0:
+            return empty
+        types = t[type_col].combine_chunks()
+        frm = types.take(pa.array(cont - 1))
+        to = types.take(pa.array(cont))
+        g = (
+            pa.table({"from_type": frm, "to_type": to})
+            .group_by(["from_type", "to_type"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    counts = keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)
+    merged = (
+        counts.groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = merged.groupby("from_type")["n"].transform("sum")
+    merged["p"] = (merged["n"].astype(float) / tot.astype(float)).round(6)
+    return merged.reset_index(drop=True)

@@ -292,3 +292,28 @@ def test_dup_span_stats_counts_distinct_not_positional(ray_session):
     )
     assert out.n_spans.tolist() == [2, 2]  # distinct grams per doc
     assert out.n_shared.tolist() == [1, 1]  # "b a" shared
+
+
+def test_pmi_collocations_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import pmi_collocations
+
+    # "a b" occurs 3x; unigrams: a=3, b=4, c=2; T=9, B=6
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a b c b", "a b"], pa.string()),
+        }
+    )
+    out = pmi_collocations(rd.from_arrow(docs), "text", k=10, min_count=2)
+    row = out[out["gram"] == "a b"].iloc[0]
+    expect = round(math.log((3 / 6) / ((3 / 9) * (4 / 9))), 6)
+    assert row["n"] == 3
+    assert abs(row["pmi"] - expect) < 1e-9
+    # min_count guard: "b c" occurs 2x (kept), "c b"/"c a" occur <2 (dropped)
+    assert set(out["gram"]) == {"a b", "b c"}
+    # ordering: pmi desc, gram asc
+    assert list(out["pmi"]) == sorted(out["pmi"], reverse=True)

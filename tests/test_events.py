@@ -165,3 +165,38 @@ def test_funnel_conversions_matches_duckdb_random(ray_session):
         "FROM c GROUP BY user_id ORDER BY user_id"
     ).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_event_transitions_hand_computed(ray_session):
+    import ray.data as rd
+
+    out = events.event_transitions(
+        rd.from_arrow(_events_table()), "user_id", "ts", "event_id", "event_type"
+    ).sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    # user 1: view->click, click->view, view->view, view->click
+    # user 2: view->view
+    expect = pd.DataFrame(
+        {
+            "from_type": ["click", "view", "view"],
+            "to_type": ["view", "click", "view"],
+            "n": [1, 2, 2],
+            "p": [1.0, 0.5, 0.5],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out[["from_type", "to_type", "n", "p"]], expect, check_dtype=False
+    )
+
+
+def test_event_transitions_partitioning_invariant(ray_session):
+    """Same result regardless of bucket count (per-user co-location holds)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_events_table())
+    a = events.event_transitions(
+        ds, "user_id", "ts", "event_id", "event_type", num_buckets=1
+    ).sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    b = events.event_transitions(
+        ds, "user_id", "ts", "event_id", "event_type", num_buckets=7
+    ).sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
