@@ -944,6 +944,46 @@ def q_pmi_collocations(sf_dir: str):
     )
 
 
+def q_rolling_window_events(sf_dir: str):
+    """Events: trailing 30-min RANGE window count + value sum per event —
+    one exchange on the user key, composite-key searchsorted boundaries,
+    reduceat window sums."""
+    from splink_ray.stages.events import rolling_window_stats
+
+    return rolling_window_stats(
+        _ds(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value", window_minutes=30.0,
+    )
+
+
+def q_unigram_logprob_docs(sf_dir: str):
+    """Corpus: mean unigram log-prob quality score per doc — partial-agg
+    counts, broadcast Arrow hash join (ds.join fallback above threshold)."""
+    from splink_ray.stages.corpus import unigram_logprob
+
+    return unigram_logprob(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Events: exact count(DISTINCT user) per event type — per-batch local
+    dedup, ONE value-keyed exchange of distinct pairs, partial sums."""
+    from splink_ray.stages.stats import distinct_count_per_group
+
+    return distinct_count_per_group(
+        _ds(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
+def q_sentences_docs(sf_dir: str):
+    """Corpus: sentence segmentation flat-map (RE2 '[.!?] +' split, stable
+    pre-filter indices) — pure streaming, no shuffle."""
+    from splink_ray.stages.corpus import split_sentences
+
+    return split_sentences(_ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
 def q_distinctive_terms_docs(sf_dir: str):
     """Text: per-doc top-3 distinctive terms ranked by (tf DESC, global df
     ASC, term ASC) — integer-keyed tf-idf; global DF pre-aggregated and
@@ -1186,6 +1226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "event_transitions": q_event_transitions,
         "pmi_collocations": q_pmi_collocations,
+        "rolling_window_events": q_rolling_window_events,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "sentences_docs": q_sentences_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "shard_docs": q_shard_docs,
@@ -1957,6 +2001,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS from_type, nxt AS to_type, count(*) AS n, "
             "round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p "
             "FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt"
+        ),
+        "rolling_window_events": (
+            "SELECT event_id, count(*) OVER w AS n_window, "
+            "round(sum(value) OVER w, 6) AS sum_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+        ),
+        "unigram_logprob_docs": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS g "
+            "FROM documents), "
+            "cnt AS (SELECT g, count(*) AS n FROM toks GROUP BY g), "
+            "tot AS (SELECT count(*) AS t FROM toks) "
+            "SELECT t.doc_id AS doc_id, count(*) AS n_tokens, "
+            "round(avg(ln(c.n::DOUBLE / tot.t)), 6) AS logprob "
+            "FROM toks t, cnt c, tot WHERE t.g = c.g GROUP BY t.doc_id"
+        ),
+        "distinct_users_per_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "sentences_docs": (
+            "WITH arrs AS (SELECT doc_id, regexp_split_to_array(coalesce(text, ''), "
+            "'[.!?] +') AS a FROM documents) "
+            "SELECT doc_id, gs.i AS sent_idx, a[gs.i + 1] AS sentence, "
+            "length(a[gs.i + 1]) AS n_chars "
+            "FROM arrs CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+            "len(a) - 1)) AS i) gs WHERE length(a[gs.i + 1]) > 0"
         ),
         "pmi_collocations": (
             "WITH toks AS (SELECT CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[]) "

@@ -759,3 +759,176 @@ def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
         .to_pandas()
     )
     return out.reset_index(drop=True)
+
+
+def unigram_logprob(
+    ds, text_col: str, id_col: str, broadcast_threshold: int = 2_000_000,
+):
+    """Mean unigram log-probability per document — a corpus-typicality /
+    fluency quality score: ``avg over the doc's tokens of ln(c_w / T)``
+    where ``c_w`` is the corpus-wide count of the token and ``T`` the corpus
+    token total. Low scores flag documents full of rare tokens (OCR noise,
+    boilerplate hashes); the classic cheap stand-in for LM perplexity.
+
+    Scale shape: counts come from per-batch partial aggregation (raw tokens
+    never shuffle); if the vocabulary fits (``<= broadcast_threshold``) the
+    count table broadcasts once via ``ray.put`` and each batch attaches
+    log-probs with a zero-copy Arrow C++ hash join; otherwise the exploded
+    (doc, token) rows attach via a distributed ``ds.join`` on the token
+    (the same huge-cardinality fallback the TF stage uses). Returns a
+    Dataset (id, n_tokens, logprob) with logprob rounded to 6 decimals.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .exchange import default_parallelism
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, _ = _token_lists(t[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"g": flat})
+            .group_by("g", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["g", "n"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-sized
+    )
+    T = float(counts.sum("n") or 0)
+    if T == 0:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: [], "n_tokens": [], "logprob": []})
+        )
+    vocab = counts.count()
+
+    if vocab <= broadcast_threshold:
+        cnt_pd = counts.to_pandas()
+        lp_tbl = pa.table(
+            {
+                "g": pa.array(cnt_pd["g"], pa.string()),
+                "__lp": pa.array(
+                    np.log(cnt_pd["n"].to_numpy(np.float64) / T), pa.float64()
+                ),
+            }
+        )
+        ref = ray.put(lp_tbl)
+
+        def _score(t: pa.Table) -> pa.Table:
+            flat, ntok = _token_lists(t[text_col])
+            keep = ntok > 0
+            if not keep.any():
+                return pa.table(
+                    {
+                        id_col: pa.array([], t[id_col].type),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "logprob": pa.array([], pa.float64()),
+                    }
+                )
+            seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+            j = pa.table({"g": flat, "__seg": seg}).join(
+                ray.get(ref), keys="g", join_type="left outer"
+            )
+            lp = pc.fill_null(j["__lp"], 0.0).to_numpy(zero_copy_only=False)
+            sj = j["__seg"].to_numpy(zero_copy_only=False)
+            sums = np.bincount(sj, weights=lp, minlength=len(ntok))
+            mean = sums[keep] / ntok[keep]
+            return pa.table(
+                {
+                    id_col: t[id_col].filter(pa.array(keep)),
+                    "n_tokens": pa.array(ntok[keep], pa.int64()),
+                    "logprob": pa.array(np.round(mean, 6), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    # huge-vocab fallback: distributed join on the token
+    def _explode(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t[text_col])
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(ntok), dtype=np.int64), ntok))
+        )
+        return pa.table({id_col: ids, "g": flat})
+
+    def _lp(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"__g": t["g"], "__lp": pa.array(np.log(n / T), pa.float64())}
+        )
+
+    nparts = max(2, default_parallelism() // 2)
+    j = ds.map_batches(_explode, batch_format="pyarrow").join(
+        counts.map_batches(_lp, batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts, on=("g",), right_on=("__g",),
+    )
+    agg = j.groupby(id_col).aggregate(
+        Sum("__lp", alias_name="__s"), Count(alias_name="n_tokens")
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        s = t["__s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"].cast(pa.int64()),
+                "logprob": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def split_sentences(ds, text_col: str, id_col: str):
+    """Sentence segmentation: one output row per sentence with
+    (id, sent_idx, sentence, n_chars). Sentences split on the RE2 pattern
+    ``[.!?] +`` (terminator followed by spaces — the terminator stays on the
+    sentence's tail is NOT preserved, matching ``regexp_split_to_array``);
+    ``sent_idx`` is the 0-based position among ALL split parts, and empty
+    parts are dropped AFTER indexing, so indices are stable.
+
+    Fully vectorized flat-map: ``split_pattern_regex`` → ListArray flatten
+    with a segmented ordinal — no per-row Python. Streams batch-by-batch;
+    no shuffle at all.
+    """
+
+    def _split(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        parts = pc.split_pattern_regex(arr, pattern="[.!?] +")
+        nparts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        flat = pc.list_flatten(parts)
+        idx = _segment_arange(nparts)
+        ids_col = t[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = ids_col.take(
+            pa.array(np.repeat(np.arange(len(nparts), dtype=np.int64), nparts))
+        )
+        nchars = pc.utf8_length(flat)
+        keep = pc.greater(nchars, 0)
+        out = pa.table(
+            {
+                id_col: ids,
+                "sent_idx": pa.array(idx, pa.int64()),
+                "sentence": flat,
+                "n_chars": nchars.cast(pa.int64()),
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(_split, batch_format="pyarrow")

@@ -323,3 +323,80 @@ def event_transitions(
     tot = merged.groupby("from_type")["n"].transform("sum")
     merged["p"] = (merged["n"].astype(float) / tot.astype(float)).round(6)
     return merged.reset_index(drop=True)
+
+
+def rolling_window_stats(
+    ds, user_col: str, ts_col: str, id_col: str, value_col: str,
+    window_minutes: float = 30.0, num_buckets=None,
+):
+    """Sliding (RANGE) window per event: for every event, the count and
+    value-sum of the same user's events in the trailing ``window_minutes``
+    INCLUDING the current row's timestamp peers (ANSI ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` semantics).
+
+    Scale shape: one exchange on the user key (windows never cross users);
+    inside each bucket everything is vectorized — window boundaries come
+    from one composite-key ``searchsorted`` over all user blocks at once
+    (per-block timestamps offset onto disjoint ranges), and window sums are
+    direct per-window slice sums via ``np.add.reduceat`` (error bounded by
+    the window's own magnitude, not a corpus-wide prefix sum). Cost is
+    O(sum of window lengths); for bounded windows that is O(n * avg-window),
+    the same work a streaming engine does.
+
+    Returns a Dataset (id, n_window, sum_value) with sum rounded to 6
+    decimals.
+    """
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_window": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        t, change = _sorted_user_blocks(t, user_col, ts_col, id_col)
+        n = len(t)
+        ts = (
+            t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        ts = ts - ts.min()
+        block_id = np.cumsum(change) - 1
+        span = np.int64(int(ts.max()) + int(w_us) + 2)
+        n_blocks = int(block_id[-1]) + 1
+        if n_blocks * int(span) < np.iinfo(np.int64).max // 2:
+            key = block_id * span + ts
+            left = np.searchsorted(key, key - w_us, side="left")
+            right = np.searchsorted(key, key, side="right")
+        else:  # pathological span: per-block searchsorted fallback
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            left = np.empty(n, np.int64)
+            right = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                left[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - w_us, "left")
+                right[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+        vals = np.append(
+            pc.fill_null(t[value_col], 0.0).to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            0.0,
+        )
+        inter = np.empty(2 * n, np.int64)
+        inter[0::2] = left
+        inter[1::2] = right
+        sums = np.add.reduceat(vals, inter)[0::2]
+        sums = np.where(right > left, sums, 0.0)  # reduceat quirk on empty
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_window": pa.array(right - left, pa.int64()),
+                "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+            }
+        )
+
+    return keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)

@@ -91,3 +91,41 @@ def grouped_quantiles(
         return pa.table(cols)
 
     return keyed_map(partials, group_col, _quant, num_buckets=num_buckets)
+
+
+def distinct_count_per_group(ds, group_col: str, value_col: str, num_buckets=None):
+    """Exact ``count(DISTINCT value)`` per group without ever shuffling raw
+    rows: each batch first locally dedups to its distinct (group, value)
+    pairs; ONE hash exchange on the value column then co-locates every copy
+    of a pair in exactly one bucket (pairs can never straddle buckets), so a
+    per-bucket distinct-pair count per group is a globally-correct partial;
+    only tiny (group, partial n) rows shuffle again for the final sum.
+
+    Returns a Dataset (group_col, n_distinct).
+    """
+    from ray.data.aggregate import Sum
+
+    from .exchange import keyed_map
+
+    def _local_dedup(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([])
+        )
+        return g
+
+    pairs = ds.map_batches(_local_dedup, batch_format="pyarrow")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by([group_col, value_col], use_threads=False).aggregate([])
+        g = (
+            t.group_by(group_col, use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, "n_distinct"])
+
+    partials = keyed_map(pairs, value_col, _bucket, num_buckets=num_buckets)
+    return partials.groupby(group_col).aggregate(
+        Sum("n_distinct", alias_name="n_distinct")
+    )

@@ -317,3 +317,52 @@ def test_pmi_collocations_hand_computed(ray_session):
     assert set(out["gram"]) == {"a b", "b c"}
     # ordering: pmi desc, gram asc
     assert list(out["pmi"]) == sorted(out["pmi"], reverse=True)
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import unigram_logprob
+
+    # corpus: a a b -> c(a)=2, c(b)=1, T=3
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a", "b"], pa.string()),
+        }
+    )
+    for thresh in (10**6, 0):  # broadcast path, then ds.join path
+        out = (
+            unigram_logprob(rd.from_arrow(docs), "text", "doc_id", broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_tokens"]) == [2, 1]
+        assert abs(out["logprob"][0] - round(math.log(2 / 3), 6)) < 1e-9
+        assert abs(out["logprob"][1] - round(math.log(1 / 3), 6)) < 1e-9
+
+
+def test_split_sentences_indices_stable(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import split_sentences
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["Hi there. Bye! ", "One? Two. "], pa.string()),
+        }
+    )
+    out = (
+        split_sentences(rd.from_arrow(docs), "text", "doc_id")
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    # trailing "! " / ". " produce an empty final part: dropped, idx stable
+    assert list(out["sentence"]) == ["Hi there", "Bye", "One", "Two"]
+    assert list(out["sent_idx"]) == [0, 1, 0, 1]
+    assert list(out["n_chars"]) == [8, 3, 3, 3]

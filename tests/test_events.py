@@ -200,3 +200,47 @@ def test_event_transitions_partitioning_invariant(ray_session):
         ds, "user_id", "ts", "event_id", "event_type", num_buckets=7
     ).sort_values(["from_type", "to_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_window_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    out = (
+        events.rolling_window_stats(
+            rd.from_arrow(_events_table()), "user_id", "ts", "event_id", "value", 30.0
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 1 at minutes 0,5,10,55,57; value == event_id as float
+    # windows (30 min trailing incl. current):
+    #  e0: {0}          e1: {0,1}  e2: {0,1,2}  e3: {3}  e4: {3,4}
+    # user 2 at minutes 1,2: e5: {5}, e6: {5,6}
+    assert list(out["n_window"]) == [1, 2, 3, 1, 2, 1, 2]
+    assert list(out["sum_value"]) == [0.0, 1.0, 3.0, 3.0, 7.0, 5.0, 11.0]
+
+
+def test_rolling_window_peers_included(ray_session):
+    """Equal timestamps are RANGE peers: both rows see both values."""
+    import ray.data as rd
+
+    base = np.datetime64("2025-03-01T10:00:00", "us")
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([base, base], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a"], pa.string()),
+            "value": pa.array([2.0, 3.0], pa.float64()),
+        }
+    )
+    out = (
+        events.rolling_window_stats(
+            rd.from_arrow(t), "user_id", "ts", "event_id", "value", 30.0
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out["n_window"]) == [2, 2]
+    assert list(out["sum_value"]) == [5.0, 5.0]

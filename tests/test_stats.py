@@ -69,3 +69,27 @@ def test_write_sharded_layout_is_reproducible(ray_session, tmp_path):
         layouts.append(per_shard)
     assert layouts[0] == layouts[1]
     assert sum(len(v) for v in layouts[0].values()) == 300
+
+
+def test_distinct_count_per_group_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.stats import distinct_count_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "v": pa.array([1, 1, 2, 1, 1], pa.int64()),
+        }
+    )
+    # duplicates across batches must not double-count: repartition to split
+    ds = rd.from_arrow(t).repartition(3)
+    out = (
+        distinct_count_per_group(ds, "g", "v", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["n_distinct"]) == [2, 1]
