@@ -1136,6 +1136,28 @@ def q_canonicalize_transcripts(sf_dir: str):
     )
 
 
+def q_conversation_stats(sf_dir: str):
+    """Transcripts: per-conversation turn statistics — pure partial
+    aggregation, only (conv, partials) rows shuffle."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.stages.canonicalize import conversation_stats
+
+    return conversation_stats(rd.from_arrow(transcripts_from_documents(sf_dir)))
+
+
+def q_turn_repetition(sf_dir: str):
+    """Transcripts: consecutive-turn token-set Jaccard per conversation —
+    one conv_id exchange + the vectorized set-intersection kernel."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.stages.canonicalize import turn_repetition
+
+    return turn_repetition(rd.from_arrow(transcripts_from_documents(sf_dir)))
+
+
 def q_flagship_predict(sf_dir: str):
     """§3.1 full flow over derived transcripts (rows-only)."""
     import ray.data as rd
@@ -1241,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_against_docs": q_jaccard_against_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
         "canonicalize_transcripts": q_canonicalize_transcripts,
+        "conversation_stats": q_conversation_stats,
+        "turn_repetition": q_turn_repetition,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2093,6 +2117,28 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "conversation_stats": (
+            f"WITH {_CANON_CTE} "
+            "SELECT 'd' || lpad(doc_id::VARCHAR, 7, '0') || '-' || c AS conv_id, "
+            "count(*) AS n_turns, "
+            "sum(CASE WHEN t % 2 = 0 THEN 1 ELSE 0 END) AS n_user_turns, "
+            "sum(length(turn_text)) AS total_chars, "
+            "round(sum(length(turn_text))::DOUBLE / count(*), 6) AS avg_turn_chars "
+            "FROM turns GROUP BY doc_id, c"
+        ),
+        "turn_repetition": (
+            f"WITH {_CANON_CTE}, "
+            "tt AS (SELECT doc_id, c, t, turn_text, lag(turn_text) OVER "
+            "(PARTITION BY doc_id, c ORDER BY t) AS prev_text FROM turns), "
+            "pj AS (SELECT doc_id, c, CASE WHEN prev_text IS NULL THEN NULL ELSE "
+            "len(list_intersect(list_distinct(str_split(prev_text, ' ')), "
+            "list_distinct(str_split(turn_text, ' '))))::DOUBLE / "
+            "len(list_distinct(list_concat(str_split(prev_text, ' '), "
+            "str_split(turn_text, ' '))))::DOUBLE END AS jac FROM tt) "
+            "SELECT 'd' || lpad(doc_id::VARCHAR, 7, '0') || '-' || c AS conv_id, "
+            "count(jac) AS n_pairs, coalesce(round(avg(jac), 6), 0.0) AS mean_jaccard "
+            "FROM pj GROUP BY doc_id, c"
         ),
         "flagship_predict": _flagship_predict_sql(),
         "flagship_clusters": _flagship_clusters_sql(),

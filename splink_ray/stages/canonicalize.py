@@ -141,3 +141,112 @@ def canonicalize_bucket(tbl: pa.Table) -> pa.Table:
 def canonicalize(ds, num_buckets: int | None = None):
     """transcripts Dataset → entity-record Dataset (one row per conv_id)."""
     return keyed_map(ds, "conv_id", canonicalize_bucket, num_buckets=num_buckets)
+
+
+def conversation_stats(ds, num_buckets: int | None = None):
+    """Per-conversation turn statistics over the transcript shape
+    (conv_id, turn_idx, role, text, ...): n_turns, n_user_turns,
+    total_chars, avg_turn_chars (round 6), per conversation.
+
+    Pure partial aggregation — per-batch (conv, partials) rows are the only
+    thing that shuffles (counts/sums are associative, so no co-location is
+    needed); one small ``groupby.sum`` finishes. Returns a Dataset.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        is_user = pc.cast(pc.equal(t["role"], "user"), pa.int64())
+        nchars = pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "__u": is_user,
+                    "__c": nchars,
+                }
+            )
+            .group_by("conv_id", use_threads=False)
+            .aggregate([([], "count_all"), ("__u", "sum"), ("__c", "sum")])
+        )
+        return g.rename_columns(["conv_id", "n_turns", "n_user_turns", "total_chars"])
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_user_turns", alias_name="n_user_turns"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        n = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": t["n_turns"].cast(pa.int64()),
+                "n_user_turns": t["n_user_turns"].cast(pa.int64()),
+                "total_chars": t["total_chars"].cast(pa.int64()),
+                "avg_turn_chars": pa.array(np.round(c / n, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(_finish, batch_format="pyarrow")
+
+
+def turn_repetition(ds, num_buckets: int | None = None):
+    """Consecutive-turn token-set Jaccard per conversation — the transcript
+    self-repetition quality signal (assistants looping / users re-pasting).
+
+    One exchange on conv_id (adjacent turns must co-locate); inside a bucket
+    turns sort by (conv, turn_idx) and every consecutive pair goes through
+    the vectorized token-id set-intersection kernel (no per-pair Python set
+    ops). Returns a Dataset (conv_id, n_pairs, mean_jaccard round 6);
+    single-turn conversations report n_pairs = 0, mean_jaccard = 0.0.
+    """
+    from .dedup import _jaccard_tokens_fast
+    from .exchange import keyed_map
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "mean_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = t["conv_id"].combine_chunks()
+        cv = conv.to_numpy(zero_copy_only=False)
+        n = len(t)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = cv[1:] != cv[:-1]
+        cont = np.flatnonzero(~change)  # rows pairing with their predecessor
+        texts = t["text"].combine_chunks()
+        if len(cont):
+            jac = _jaccard_tokens_fast(
+                texts.take(pa.array(cont - 1)), texts.take(pa.array(cont))
+            )
+        else:
+            jac = np.empty(0, np.float64)
+        codes = np.cumsum(change) - 1
+        n_convs = int(codes[-1]) + 1
+        n_pairs = np.bincount(codes[cont], minlength=n_convs)
+        sums = np.bincount(codes[cont], weights=jac, minlength=n_convs)
+        mean = np.where(n_pairs > 0, sums / np.maximum(n_pairs, 1), 0.0)
+        first_rows = np.flatnonzero(change)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(first_rows)),
+                "n_pairs": pa.array(n_pairs, pa.int64()),
+                "mean_jaccard": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        )
+
+    return keyed_map(ds, "conv_id", _bucket, num_buckets=num_buckets)

@@ -202,3 +202,35 @@ def test_predict_end_to_end_f1(ray_session, fixture_tables):
     fn = int((~pred & truth).sum())
     f1 = 2 * tp / (2 * tp + fp + fn)
     assert f1 >= 0.99, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_conversation_stats_and_repetition(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.canonicalize import conversation_stats, turn_repetition
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "user"], pa.string()),
+            "text": pa.array(["a b c", "a b d", "x", "hello"], pa.string()),
+            "tool": pa.array([""] * 4, pa.string()),
+            "ts": pa.array([base] * 4, pa.timestamp("us")),
+        }
+    )
+    ds = rd.from_arrow(t)
+    st = conversation_stats(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(st["n_turns"]) == [3, 1]
+    assert list(st["n_user_turns"]) == [2, 1]
+    assert list(st["total_chars"]) == [11, 5]
+    assert abs(st["avg_turn_chars"][0] - round(11 / 3, 6)) < 1e-9
+
+    rep = turn_repetition(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    # c1: jac(t0,t1) = |{a,b}| / |{a,b,c,d}| = 0.5 ; jac(t1,t2) = 0
+    assert list(rep["n_pairs"]) == [2, 0]
+    assert abs(rep["mean_jaccard"][0] - 0.25) < 1e-9
+    assert rep["mean_jaccard"][1] == 0.0
