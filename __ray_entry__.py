@@ -1136,6 +1136,57 @@ def q_canonicalize_transcripts(sf_dir: str):
     )
 
 
+def q_revenue_by_segment(sf_dir: str):
+    """Relational showcase: orders ⋈ customer (broadcast map-side hash
+    join — the dimension table ships once via ray.put, every batch attaches
+    it with an Arrow C++ join) → per-segment partial aggregation; only
+    (segment, partials) rows shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.joins import broadcast_join
+
+    orders = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()
+    import ray
+
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
+    j = broadcast_join(orders, cust_tbl, key="o_custkey", right_key="c_custkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"c_mktsegment": t["c_mktsegment"], "__p": t["o_totalprice"]}
+            )
+            .group_by("c_mktsegment", use_threads=False)
+            .aggregate([([], "count_all"), ("__p", "sum")])
+        )
+        return g.rename_columns(["c_mktsegment", "n_orders", "revenue"])
+
+    merged = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        rev = t["revenue"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": t["n_orders"].cast(pa.int64()),
+                "revenue": pa.array(np.round(rev, 2), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_conversation_stats(sf_dir: str):
     """Transcripts: per-conversation turn statistics — pure partial
     aggregation, only (conv, partials) rows shuffle."""
@@ -1265,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "conversation_stats": q_conversation_stats,
         "turn_repetition": q_turn_repetition,
+        "revenue_by_segment": q_revenue_by_segment,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2117,6 +2169,12 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "revenue_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "conversation_stats": (
             f"WITH {_CANON_CTE} "

@@ -244,3 +244,85 @@ def test_rolling_window_peers_included(ray_session):
     )
     assert list(out["n_window"]) == [2, 2]
     assert list(out["sum_value"]) == [5.0, 5.0]
+
+
+def test_rolling_window_randomized_vs_bruteforce(ray_session):
+    """Composite-key searchsorted + reduceat == O(n²) reference on random
+    multi-user data with duplicate timestamps."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    users = rng.integers(0, 12, n)
+    # coarse minutes so duplicate timestamps happen often
+    mins = rng.integers(0, 300, n)
+    ts = base + mins.astype("timedelta64[m]").astype("timedelta64[us]")
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        events.rolling_window_stats(
+            rd.from_arrow(t), "user_id", "ts", "event_id", "value", 30.0,
+            num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = np.timedelta64(30, "m").astype("timedelta64[us]").astype(np.int64)
+    ts_i = ts.astype(np.int64)
+    for i in rng.choice(n, 60, replace=False):
+        mask = (users == users[i]) & (ts_i >= ts_i[i] - w) & (ts_i <= ts_i[i])
+        assert out["n_window"][i] == mask.sum()
+        assert abs(out["sum_value"][i] - round(vals[mask].sum(), 6)) < 1e-6
+
+
+def test_event_transitions_randomized_vs_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 300
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    users = rng.integers(0, 8, n)
+    ts = base + rng.permutation(n).astype("timedelta64[s]").astype("timedelta64[us]")
+    types = rng.choice(["a", "b", "c"], n)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    out = (
+        events.event_transitions(
+            rd.from_arrow(t), "user_id", "ts", "event_id", "event_type",
+            num_buckets=4,
+        )
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"u": users, "ts": ts, "ty": types}).sort_values(["u", "ts"])
+    df["nxt"] = df.groupby("u")["ty"].shift(-1)
+    ref = (
+        df.dropna(subset=["nxt"])
+        .groupby(["ty", "nxt"])
+        .size()
+        .reset_index(name="n")
+        .rename(columns={"ty": "from_type", "nxt": "to_type"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    ref["p"] = (
+        ref["n"] / ref.groupby("from_type")["n"].transform("sum")
+    ).round(6)
+    pd.testing.assert_frame_equal(
+        out[["from_type", "to_type", "n", "p"]], ref, check_dtype=False
+    )

@@ -93,3 +93,29 @@ def test_distinct_count_per_group_exact(ray_session):
     )
     assert list(out["g"]) == ["a", "b"]
     assert list(out["n_distinct"]) == [2, 1]
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.joins import broadcast_join
+
+    big = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d"], pa.string())})
+    )
+    small = pa.table({"ck": pa.array([1, 2], pa.int64()),
+                      "dim": pa.array(["x", "y"], pa.string())})
+    inner = (
+        broadcast_join(big, small, key="k", right_key="ck", how="inner")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert list(inner["k"]) == [1, 2, 2]
+    assert list(inner["dim"]) == ["x", "y", "y"]
+    left = (
+        broadcast_join(big, small, key="k", right_key="ck", how="left")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert len(left) == 4
+    assert left[left["k"] == 3]["dim"].isna().all()
