@@ -1136,6 +1136,30 @@ def q_canonicalize_transcripts(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Dedup analytics: cross-source contamination matrix over 3-token
+    document prefixes — local (prefix, source) dedup, ONE text-keyed
+    exchange, triangular source-pair expansion, partial sums."""
+    import pyarrow as pa
+
+    from splink_ray.stages.corpus import _token_lists, _window_join
+    from splink_ray.stages.dedup import source_overlap
+
+    import numpy as np
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t["text"])
+        k = np.minimum(ntok, 3)
+        doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        grams = _window_join(flat, doc_starts, k)
+        return pa.table({"g": grams, "source": t["source"]})
+
+    ds = _ds(sf_dir, "documents", ["text", "source"]).map_batches(
+        _prefix, batch_format="pyarrow"
+    )
+    return source_overlap(ds, "g", "source")
+
+
 def q_revenue_by_segment(sf_dir: str):
     """Relational showcase: orders ⋈ customer (broadcast map-side hash
     join — the dimension table ships once via ray.put, every batch attaches
@@ -1317,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": q_conversation_stats,
         "turn_repetition": q_turn_repetition,
         "revenue_by_segment": q_revenue_by_segment,
+        "source_overlap": q_source_overlap,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2169,6 +2194,14 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "source_overlap": (
+            "WITH d AS (SELECT DISTINCT array_to_string(list_slice("
+            "str_split(text, ' '), 1, 3), ' ') AS g, source FROM documents) "
+            "SELECT a.source AS source_l, b.source AS source_r, "
+            "count(*) AS n_shared_texts "
+            "FROM d a JOIN d b ON a.g = b.g AND a.source < b.source "
+            "GROUP BY a.source, b.source"
         ),
         "revenue_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_orders, "

@@ -848,3 +848,64 @@ def ngram_jaccard_against(
         return out.filter(pa.array(keep))
 
     return j.map_batches(_verify, batch_format="pyarrow")
+
+
+def source_overlap(ds, text_col: str, source_col: str, num_buckets=None):
+    """Cross-source contamination matrix: for every unordered source pair
+    (source_l < source_r), the number of DISTINCT text values present in
+    both sources — the corpus-provenance overlap report that decides which
+    upstream feeds duplicate each other.
+
+    Scale shape: per-batch local dedup to distinct (text, source) rows, one
+    hash exchange on the text (a text's source set can never straddle
+    buckets), triangular source-pair expansion per text group, per-bucket
+    pre-aggregated (source_l, source_r, partial n) rows, tiny global sum.
+    Returns a Dataset (source_l, source_r, n_shared_texts).
+    """
+    from ray.data.aggregate import Sum
+
+    from .exchange import keyed_map
+
+    def _local(t: pa.Table) -> pa.Table:
+        return (
+            t.select([text_col, source_col])
+            .group_by([text_col, source_col], use_threads=False)
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(_local, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "source_l": pa.array([], pa.string()),
+            "source_r": pa.array([], pa.string()),
+            "n_shared_texts": pa.array([], pa.int64()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by([text_col, source_col], use_threads=False).aggregate([])
+        if len(t) == 0:
+            return empty
+        li, ri, ts = _pairs_in_buckets(t, text_col, source_col)
+        if len(li) == 0:
+            return empty
+        src = ts[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = (
+            pa.table(
+                {
+                    "source_l": src.take(pa.array(li)),
+                    "source_r": src.take(pa.array(ri)),
+                }
+            )
+            .group_by(["source_l", "source_r"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source_l", "source_r", "n_shared_texts"])
+
+    partials = keyed_map(pairs, text_col, _bucket, num_buckets=num_buckets)
+    return partials.groupby(["source_l", "source_r"]).aggregate(
+        Sum("n_shared_texts", alias_name="n_shared_texts")
+    )

@@ -222,3 +222,32 @@ def test_word_kgram_consistency_property(texts):
     for i, t in enumerate(texts):
         h_one, _ = hashing.word_kgram_hashes_batch([t], 2)
         np.testing.assert_array_equal(h_all[starts[i]:ends[i]], h_one)
+
+
+def test_source_overlap_matrix(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import source_overlap
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["x", "x", "x", "y", "y", "z", "x"], pa.string()
+            ),
+            "source": pa.array(
+                ["a", "b", "c", "a", "b", "a", "a"], pa.string()
+            ),
+        }
+    )
+    # distinct (text, source): x:{a,b,c}, y:{a,b}, z:{a}
+    # pairs: x -> (a,b),(a,c),(b,c); y -> (a,b)
+    out = (
+        source_overlap(rd.from_arrow(t).repartition(3), "text", "source", num_buckets=4)
+        .to_pandas()
+        .sort_values(["source_l", "source_r"])
+        .reset_index(drop=True)
+    )
+    assert list(out["source_l"]) == ["a", "a", "b"]
+    assert list(out["source_r"]) == ["b", "c", "c"]
+    assert list(out["n_shared_texts"]) == [2, 1, 1]
