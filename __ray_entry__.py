@@ -1136,6 +1136,17 @@ def q_canonicalize_transcripts(sf_dir: str):
     )
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Dedup rewrite (Lee et al.): drop tokens covered by 5-grams shared
+    with an earlier (keeper) doc — distinct gram-doc aggregate, O(tokens)
+    gram join, one doc-keyed exchange with vectorized mask + rebuild."""
+    from splink_ray.stages.corpus import remove_dup_spans
+
+    return remove_dup_spans(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", n=5
+    )
+
+
 def q_source_overlap(sf_dir: str):
     """Dedup analytics: cross-source contamination matrix over 3-token
     document prefixes — local (prefix, source) dedup, ONE text-keyed
@@ -1342,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_repetition": q_turn_repetition,
         "revenue_by_segment": q_revenue_by_segment,
         "source_overlap": q_source_overlap,
+        "remove_dup_spans_docs": q_remove_dup_spans,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2194,6 +2206,28 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "remove_dup_spans_docs": (
+            "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents), "
+            "tok AS (SELECT doc_id, gs.i AS pos, w[gs.i + 1] AS tk FROM toks "
+            "CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) gs), "
+            "grams AS (SELECT doc_id, gs.i AS pos, "
+            "array_to_string(list_slice(w, gs.i + 1, gs.i + 5), ' ') AS g "
+            "FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+            "len(w) - 5)) AS i) gs WHERE len(w) >= 5), "
+            "gstat AS (SELECT g, min(doc_id) AS keeper, count(DISTINCT doc_id) AS nd "
+            "FROM grams GROUP BY g), "
+            "cov AS (SELECT DISTINCT gr.doc_id AS doc_id, gr.pos + d.j AS cpos "
+            "FROM grams gr JOIN gstat s ON gr.g = s.g AND s.nd >= 2 "
+            "AND gr.doc_id > s.keeper "
+            "CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 4)) AS j) d) "
+            "SELECT t.doc_id AS doc_id, "
+            "coalesce(string_agg(t.tk, ' ' ORDER BY t.pos) "
+            "FILTER (WHERE c.cpos IS NULL), '') AS clean_text, "
+            "count(*) FILTER (WHERE c.cpos IS NULL) AS n_tokens_kept, "
+            "count(*) FILTER (WHERE c.cpos IS NOT NULL) AS n_tokens_removed "
+            "FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos "
+            "GROUP BY t.doc_id"
         ),
         "source_overlap": (
             "WITH d AS (SELECT DISTINCT array_to_string(list_slice("

@@ -932,3 +932,171 @@ def split_sentences(ds, text_col: str, id_col: str):
         return out.filter(keep)
 
     return ds.map_batches(_split, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, text_col: str, id_col: str, n: int = 5, num_buckets=None):
+    """Exact duplicated-span REMOVAL (the rewrite step of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" — dup_span_
+    stats is the measurement, this is the cure): every token covered by a
+    word ``n``-gram that appears in ≥ 2 distinct documents is dropped from
+    all documents EXCEPT the gram's keeper (the min-id document containing
+    it). Returns a Dataset (id, clean_text, n_tokens_kept, n_tokens_removed).
+
+    Scale shape (two exchanges + one distributed join, all on pre-shrunk
+    rows): (1) per-batch DISTINCT (gram, doc) rows — globally distinct
+    because a document never splits across batches — feed one
+    ``groupby(gram)`` producing (keeper, n_docs); (2) the exploded
+    occurrence rows (doc, pos, gram) join the ``n_docs ≥ 2`` grams on the
+    gram (O(tokens) shuffle — the same shape as the original map-reduce);
+    (3) surviving (doc, pos) marks union with the (doc, text) rows and
+    co-locate via ONE doc-keyed exchange, where coverage masks and the
+    token-filtered rebuild are fully vectorized (segment offsets +
+    ListArray + binary_join — no per-doc Python).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .exchange import keyed_map
+
+    def _gram_windows(t: pa.Table):
+        flat, ntok = _token_lists(t[text_col])
+        counts = np.maximum(ntok - n + 1, 0)
+        doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        starts_abs = np.repeat(doc_starts, counts) + _segment_arange(counts)
+        grams = _window_join(flat, starts_abs, np.full(len(starts_abs), n, np.int64))
+        ids_col = t[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        rep = np.repeat(np.arange(len(ntok), dtype=np.int64), counts)
+        return grams, ids_col.take(pa.array(rep)), _segment_arange(counts)
+
+    def _gram_doc(t: pa.Table) -> pa.Table:
+        grams, ids, _ = _gram_windows(t)
+        if len(grams) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "__d": pa.array([], pa.int64())}
+            )
+        return (
+            pa.table({"g": grams, "__d": ids.cast(pa.int64())})
+            .group_by(["g", "__d"], use_threads=False)
+            .aggregate([])
+        )
+
+    gstats = (
+        ds.map_batches(_gram_doc, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Min("__d", alias_name="__keeper"), Count(alias_name="__nd"))
+    )
+
+    def _shared(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["__nd"], 2))
+        return pa.table(
+            {
+                "g": t["g"],
+                id_col: pa.nulls(len(t), pa.int64()),
+                "__pos": pa.nulls(len(t), pa.int64()),
+                "__keeper": t["__keeper"].cast(pa.int64()),
+            }
+        )
+
+    shared = gstats.map_batches(_shared, batch_format="pyarrow")
+
+    def _occ(t: pa.Table) -> pa.Table:
+        grams, ids, pos = _gram_windows(t)
+        return pa.table(
+            {
+                "g": grams,
+                id_col: ids.cast(pa.int64()),
+                "__pos": pa.array(pos, pa.int64()),
+                "__keeper": pa.nulls(len(grams), pa.int64()),
+            }
+        )
+
+    # gram-keyed exchange instead of Dataset.join: Ray 2.49 loses the schema
+    # of EMPTY shuffled aggregate partitions, which breaks a downstream
+    # pyarrow join's key resolution at tiny inputs (same workaround as the
+    # graph-metrics partial-union in pipelines/clustering.py). The in-bucket
+    # join is the Arrow C++ hash join.
+    occ_and_shared = ds.map_batches(_occ, batch_format="pyarrow").union(shared)
+
+    def _match(t: pa.Table) -> pa.Table:
+        is_shared = pc.is_valid(t["__keeper"]).to_numpy(zero_copy_only=False)
+        out_empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "__pos": pa.array([], pa.int64()),
+                text_col: pa.array([], pa.string()),
+            }
+        )
+        if is_shared.all() or not is_shared.any():
+            return out_empty
+        sh = t.filter(pa.array(is_shared)).select(["g", "__keeper"])
+        oc = t.filter(pa.array(~is_shared)).select(["g", id_col, "__pos"])
+        j = oc.join(sh, keys="g", join_type="inner")
+        j = j.filter(pc.not_equal(j[id_col], j["__keeper"]))
+        return pa.table(
+            {
+                id_col: j[id_col],
+                "__pos": j["__pos"],
+                text_col: pa.nulls(len(j), pa.string()),
+            }
+        )
+
+    marks = keyed_map(occ_and_shared, "g", _match, num_buckets=num_buckets)
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "__pos": pa.nulls(len(t), pa.int64()),
+                text_col: t[text_col],
+            }
+        )
+
+    tagged = ds.map_batches(_doc_rows, batch_format="pyarrow").union(marks)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_tokens_kept": pa.array([], pa.int64()),
+            "n_tokens_removed": pa.array([], pa.int64()),
+        }
+    )
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(t[text_col]).to_numpy(zero_copy_only=False)
+        if not is_doc.any():
+            return empty
+        docs = t.filter(pa.array(is_doc)).sort_by([(id_col, "ascending")])
+        flat, ntok = _token_lists(docs[text_col])
+        doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        total = int(ntok.sum())
+        covered = np.zeros(total, bool)
+        pos_rows = t.filter(pa.array(~is_doc))
+        if len(pos_rows):
+            doc_ids = docs[id_col].to_numpy(zero_copy_only=False)
+            pid = pos_rows[id_col].to_numpy(zero_copy_only=False)
+            ppos = pos_rows["__pos"].to_numpy(zero_copy_only=False)
+            di = np.searchsorted(doc_ids, pid)
+            starts = doc_starts[di] + ppos
+            idx = np.repeat(starts, n) + np.tile(
+                np.arange(n, dtype=np.int64), len(starts)
+            )
+            covered[idx] = True
+        kept = ~covered
+        seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        kept_per_doc = np.bincount(seg[kept], minlength=len(ntok)).astype(np.int64)
+        flat_kept = flat.filter(pa.array(kept))
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), flat_kept)
+        clean = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: docs[id_col],
+                "clean_text": clean,
+                "n_tokens_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_tokens_removed": pa.array(ntok - kept_per_doc, pa.int64()),
+            }
+        )
+
+    return keyed_map(tagged, id_col, _rebuild, num_buckets=num_buckets)

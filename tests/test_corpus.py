@@ -366,3 +366,59 @@ def test_split_sentences_indices_stable(ray_session):
     assert list(out["sentence"]) == ["Hi there", "Bye", "One", "Two"]
     assert list(out["sent_idx"]) == [0, 1, 0, 1]
     assert list(out["n_chars"]) == [8, 3, 3, 3]
+
+
+def test_remove_dup_spans_keeper_semantics(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import remove_dup_spans
+
+    shared = "one two three four five"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha {shared} beta",      # keeper (min doc_id)
+                    f"gamma {shared} delta",     # span removed
+                    "unrelated text entirely here now",  # untouched
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        remove_dup_spans(rd.from_arrow(docs).repartition(3), "text", "doc_id", n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"][0] == f"alpha {shared} beta"  # keeper untouched
+    assert out["clean_text"][1] == "gamma delta"
+    assert out["n_tokens_removed"][1] == 5
+    assert out["clean_text"][2] == "unrelated text entirely here now"
+    assert out["n_tokens_removed"].tolist() == [0, 5, 0]
+
+
+def test_remove_dup_spans_overlapping_coverage(ray_session):
+    """Two overlapping shared 5-grams cover a 6-token span: removed once."""
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import remove_dup_spans
+
+    span6 = "a b c d e f"  # contains two 5-grams: a..e and b..f
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([f"{span6} tail", f"head {span6}"], pa.string()),
+        }
+    )
+    out = (
+        remove_dup_spans(rd.from_arrow(docs), "text", "doc_id", n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"][0] == f"{span6} tail"
+    assert out["clean_text"][1] == "head"
+    assert out["n_tokens_removed"].tolist() == [0, 6]
