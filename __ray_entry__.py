@@ -1136,6 +1136,36 @@ def q_canonicalize_transcripts(sf_dir: str):
     )
 
 
+def q_docs_above_q90(sf_dir: str):
+    """Composition showcase: per-language q90 length outliers — exact
+    grouped quantiles (histogram exchange) broadcast-joined back onto the
+    streaming scan; no raw-row shuffle anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from splink_ray.stages.joins import broadcast_join
+    from splink_ray.stages.stats import grouped_quantiles
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    q = grouped_quantiles(docs, "lang", "n_chars", qs=(0.9,))
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        if "q90" not in t.column_names:  # schema-less empty partition
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "__q90": pa.array([], pa.int64())}
+            )
+        return pa.table({"lang": t["lang"], "__q90": t["q90"].cast(pa.int64())})
+
+    thresholds = q.map_batches(_thresh, batch_format="pyarrow")
+    j = broadcast_join(docs, thresholds, key="lang")
+
+    def _filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_chars"], t["__q90"]))
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    return j.map_batches(_filter, batch_format="pyarrow")
+
+
 def q_remove_dup_spans(sf_dir: str):
     """Dedup rewrite (Lee et al.): drop tokens covered by 5-grams shared
     with an earlier (keeper) doc — distinct gram-doc aggregate, O(tokens)
@@ -1210,6 +1240,14 @@ def q_revenue_by_segment(sf_dir: str):
     )
 
     def _finish(t: pa.Table) -> pa.Table:
+        if "revenue" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
         rev = t["revenue"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -1354,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": q_revenue_by_segment,
         "source_overlap": q_source_overlap,
         "remove_dup_spans_docs": q_remove_dup_spans,
+        "docs_above_q90": q_docs_above_q90,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2206,6 +2245,12 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_transcripts": (
             f"WITH {_CANON_CTE} "
             "SELECT unique_id, n_turns, text_concat_hash, role_seq, ts_day FROM recs"
+        ),
+        "docs_above_q90": (
+            "WITH q AS (SELECT lang, quantile_disc(n_chars, 0.9) AS q90 "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "JOIN q ON d.lang = q.lang WHERE d.n_chars > q.q90"
         ),
         "remove_dup_spans_docs": (
             "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents), "

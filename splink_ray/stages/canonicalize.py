@@ -181,6 +181,16 @@ def conversation_stats(ds, num_buckets: int | None = None):
     )
 
     def _finish(t: pa.Table) -> pa.Table:
+        if "n_turns" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_user_turns": pa.array([], pa.int64()),
+                    "total_chars": pa.array([], pa.int64()),
+                    "avg_turn_chars": pa.array([], pa.float64()),
+                }
+            )
         n = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.float64)
         c = t["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(

@@ -698,6 +698,8 @@ def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
         return pd.DataFrame({"gram": [], "n": [], "pmi": []})
 
     def _cand(t: pa.Table) -> pa.Table:
+        if "kind" not in t.column_names:  # schema-less empty agg partition
+            t = empty_counts
         t = t.filter(
             pc.and_(pc.equal(t["kind"], "b"), pc.greater_equal(t["n"], min_count))
         )
@@ -722,6 +724,8 @@ def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
 
     def _uni(suffix):
         def fn(t: pa.Table) -> pa.Table:
+            if "kind" not in t.column_names:
+                t = empty_counts
             t = t.filter(pc.equal(t["kind"], "u"))
             return pa.table({f"__w{suffix}": t["gram"], f"n{suffix}": t["n"]})
 
@@ -861,6 +865,10 @@ def unigram_logprob(
         return pa.table({id_col: ids, "g": flat})
 
     def _lp(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {"__g": pa.array([], pa.string()), "__lp": pa.array([], pa.float64())}
+            )
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {"__g": t["g"], "__lp": pa.array(np.log(n / T), pa.float64())}
@@ -876,6 +884,14 @@ def unigram_logprob(
     )
 
     def _finish(t: pa.Table) -> pa.Table:
+        if "__s" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
         s = t["__s"].to_numpy(zero_copy_only=False).astype(np.float64)
         n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
@@ -988,6 +1004,15 @@ def remove_dup_spans(ds, text_col: str, id_col: str, n: int = 5, num_buckets=Non
     )
 
     def _shared(t: pa.Table) -> pa.Table:
+        if "__nd" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "__pos": pa.array([], pa.int64()),
+                    "__keeper": pa.array([], pa.int64()),
+                }
+            )
         t = t.filter(pc.greater_equal(t["__nd"], 2))
         return pa.table(
             {

@@ -320,6 +320,12 @@ def event_transitions(
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if merged.empty:  # Ray 2.49: empty agg output may arrive schema-less
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"from_type": [], "to_type": [], "n": [], "p": []}
+        )
     tot = merged.groupby("from_type")["n"].transform("sum")
     merged["p"] = (merged["n"].astype(float) / tot.astype(float)).round(6)
     return merged.reset_index(drop=True)

@@ -36,7 +36,11 @@ def broadcast_join(
 
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    if hasattr(small, "to_arrow"):
+    if hasattr(small, "to_arrow_refs"):  # ray.data.Dataset small side
+        small = pa.concat_tables(
+            [ray.get(r) for r in small.to_arrow_refs()], promote_options="default"
+        )
+    elif hasattr(small, "to_arrow"):
         small = small.to_arrow()
     if not isinstance(small, pa.Table):
         small = pa.table(small)

@@ -119,3 +119,31 @@ def test_broadcast_join_inner_and_left(ray_session):
     )
     assert len(left) == 4
     assert left[left["k"] == 3]["dim"].isna().all()
+
+
+def test_docs_above_q90_composition(ray_session):
+    """grouped_quantiles ∘ broadcast_join ∘ filter == SQL quantile join."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        e.queries()["docs_above_q90"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    o = (
+        con.execute(e.oracle_sql()["docs_above_q90"] + " ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        mine[["doc_id", "lang", "n_chars"]], o, check_dtype=False
+    )
