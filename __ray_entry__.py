@@ -1317,6 +1317,47 @@ def q_flagship_clusters(sf_dir: str):
     return clustered.select_columns(["unique_id", "cluster_id"])
 
 
+def _golden_records_sql() -> str:
+    """Survivorship oracle: the flagship recursive-CTE clusters extended
+    with a (n_turns DESC, unique_id) row_number pick per cluster."""
+    base = _flagship_clusters_sql()
+    final = "SELECT node AS unique_id, min(rep) AS cluster_id FROM reach GROUP BY node"
+    assert base.endswith(final)
+    return (
+        base[: -len(final)]
+        + ", clusters AS (" + final + ") "
+        "SELECT cluster_id, unique_id, n_turns FROM ("
+        "SELECT c.cluster_id, c.unique_id, rec.n_turns, "
+        "row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY rec.n_turns DESC, c.unique_id) AS rn "
+        "FROM clusters c JOIN recs rec ON c.unique_id = rec.unique_id) "
+        "WHERE rn = 1"
+    )
+
+
+def q_golden_records(sf_dir: str):
+    """ER survivorship: canonical record per flagship cluster — max n_turns,
+    min unique_id tiebreak; one cluster-keyed exchange, vectorized argmax."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+        golden_records,
+    )
+    from splink_ray.pipelines.flagship import transcript_settings
+    from splink_ray.pipelines.predict import predict
+    from splink_ray.stages.canonicalize import canonicalize
+
+    t = transcripts_from_documents(sf_dir)
+    recs = canonicalize(rd.from_arrow(t)).materialize()
+    scored, _ = predict(recs, transcript_settings(), threshold_match_probability=0.5)
+    clustered, _ = cluster_pairwise_predictions_at_threshold(recs, scored, 0.9)
+    return golden_records(clustered).select_columns(
+        ["cluster_id", "unique_id", "n_turns"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -1393,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "remove_dup_spans_docs": q_remove_dup_spans,
         "docs_above_q90": q_docs_above_q90,
+        "golden_records": q_golden_records,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2310,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
             "count(jac) AS n_pairs, coalesce(round(avg(jac), 6), 0.0) AS mean_jaccard "
             "FROM pj GROUP BY doc_id, c"
         ),
+        "golden_records": _golden_records_sql(),
         "flagship_predict": _flagship_predict_sql(),
         "flagship_clusters": _flagship_clusters_sql(),
     }

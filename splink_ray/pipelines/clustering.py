@@ -444,3 +444,37 @@ def compute_graph_metrics(
     if not as_pandas:
         return {"nodes": degree, "clusters": clusters}
     return {"nodes": degree.to_pandas(), "clusters": clusters.to_pandas()}
+
+
+def golden_records(
+    clustered_ds, cluster_col: str = "cluster_id", score_col: str = "n_turns",
+    id_col: str = "unique_id", num_buckets=None,
+):
+    """Canonical ("golden") record per cluster — the survivorship step an ER
+    consumer runs after clustering: within each cluster keep the member with
+    the highest ``score_col`` (completeness proxy), ties broken by the
+    smallest ``id_col``.
+
+    One hash exchange on the cluster id; inside each bucket the argmax is
+    one vectorized sort + group-start gather (no per-cluster Python).
+    Returns a Dataset with the surviving rows (all input columns).
+    """
+    from ..stages.exchange import group_starts, keyed_map
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        t = t.sort_by(
+            [
+                (cluster_col, "ascending"),
+                (score_col, "descending"),
+                (id_col, "ascending"),
+            ]
+        )
+        cl = t[cluster_col]
+        if isinstance(cl, pa.ChunkedArray):
+            cl = cl.combine_chunks()
+        starts = group_starts(cl)
+        return t.take(pa.array(starts))
+
+    return keyed_map(clustered_ds, cluster_col, _bucket, num_buckets=num_buckets)

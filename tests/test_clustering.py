@@ -177,3 +177,27 @@ def test_graph_metrics_streaming_no_driver_materialization(ray_session, monkeypa
     cl = m["clusters"].to_pandas().set_index("cluster_id")
     assert cl.loc["a0", "n_nodes"] == 10
     assert cl.loc["a0", "n_edges"] == 21
+
+
+def test_golden_records_argmax_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import golden_records
+
+    t = pa.table(
+        {
+            "cluster_id": pa.array(["c1", "c1", "c1", "c2", "c2"], pa.string()),
+            "unique_id": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            "n_turns": pa.array([3, 5, 5, 1, 1], pa.int32()),
+        }
+    )
+    out = (
+        golden_records(rd.from_arrow(t).repartition(3), num_buckets=4)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    # c1: max n_turns=5 tie between b,c -> min id b; c2: tie d,e -> d
+    assert list(out["unique_id"]) == ["b", "d"]
+    assert list(out["n_turns"]) == [5, 1]
