@@ -1260,6 +1260,77 @@ def q_revenue_by_segment(sf_dir: str):
     return merged.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """Relational showcase #2: orders ⋈ lineitem — BOTH sides large, so this
+    is the distributed hash-shuffle join (vs the broadcast join in
+    revenue_by_segment); per-batch partial aggregation after the join, only
+    (priority, partials) rows shuffle again."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.exchange import default_parallelism
+
+    orders = _ds(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _ds(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    nparts = max(2, default_parallelism() // 2)
+    j = items.join(
+        orders.rename_columns({"o_orderkey": "__ok"}),
+        join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("__ok",),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "o_orderpriority" not in t.column_names:  # empty join partition
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        g = (
+            pa.table({"o_orderpriority": t["o_orderpriority"], "__r": rev})
+            .group_by("o_orderpriority", use_threads=False)
+            .aggregate([([], "count_all"), ("__r", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_items", "revenue"])
+
+    merged = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue", alias_name="revenue"),
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if "revenue" not in t.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        rev = t["revenue"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_items": t["n_items"].cast(pa.int64()),
+                "revenue": pa.array(np.round(rev, 2), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_conversation_stats(sf_dir: str):
     """Transcripts: per-conversation turn statistics — pure partial
     aggregation, only (conv, partials) rows shuffle."""
@@ -1431,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": q_conversation_stats,
         "turn_repetition": q_turn_repetition,
         "revenue_by_segment": q_revenue_by_segment,
+        "revenue_by_priority": q_revenue_by_priority,
         "source_overlap": q_source_overlap,
         "remove_dup_spans_docs": q_remove_dup_spans,
         "docs_above_q90": q_docs_above_q90,
@@ -2323,6 +2395,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_shared_texts "
             "FROM d a JOIN d b ON a.g = b.g AND a.source < b.source "
             "GROUP BY a.source, b.source"
+        ),
+        "revenue_by_priority": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "revenue_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_orders, "

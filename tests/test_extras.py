@@ -492,3 +492,65 @@ def test_ngram_jaccard_against_cross_side_only(ray_session):
     assert out.ref_id.tolist() == [7, 7]
     assert out.jaccard.iloc[0] == 1.0
     assert 0.7 <= out.jaccard.iloc[1] < 1.0
+
+
+def test_text_embedder_deterministic_and_batched(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.inference import embed_text
+
+    texts = [f"doc number {i} with words {'x' * (i % 7)}" for i in range(40)]
+    t = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    # same result regardless of batch size / partitioning (actor-pool state
+    # is per-actor but the model is fixed-seed deterministic)
+    a = (
+        embed_text(rd.from_arrow(t), batch_size=7, concurrency=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        embed_text(rd.from_arrow(t).repartition(5), batch_size=40, concurrency=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    va = np.stack(a["embedding"].to_numpy())
+    vb = np.stack(b["embedding"].to_numpy())
+    assert va.shape == (40, 64)
+    np.testing.assert_allclose(va, vb, rtol=0, atol=0)
+    # L2-normalised
+    np.testing.assert_allclose(np.linalg.norm(va, axis=1), 1.0, atol=1e-5)
+    # identical texts embed identically, different texts don't collide
+    t2 = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([texts[3], texts[3]], pa.string())}
+    )
+    v2 = np.stack(
+        embed_text(rd.from_arrow(t2)).to_pandas().sort_values("doc_id")["embedding"].to_numpy()
+    )
+    np.testing.assert_allclose(v2[0], v2[1], atol=0)
+
+
+def test_text_embedder_feeds_ann(ray_session):
+    """Inference stage output is directly consumable by the ANN operator."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.ann import knn_brute_force
+    from splink_ray.stages.inference import embed_text
+
+    t = pa.table(
+        {"vec_id": pa.array(range(20), pa.int64()),
+         "text": pa.array([f"sentence {i} alpha beta" for i in range(20)], pa.string())}
+    )
+    emb = embed_text(rd.from_arrow(t), out_col="vec")
+    queries = emb.limit(2).to_pandas()
+    import numpy as np
+
+    qm = np.stack(queries["vec"].to_numpy())
+    out = knn_brute_force(emb, "vec", "vec_id", qm, [0, 1], k=3).to_pandas()
+    # each query's nearest neighbour is itself (cosine 1.0)
+    top = out[out["rank"] == 1].sort_values("query_id")
+    assert list(top["vec_id"]) == [0, 1]
