@@ -1260,6 +1260,17 @@ def q_revenue_by_segment(sf_dir: str):
     return merged.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_last_k_turns(sf_dir: str):
+    """Transcripts: last-3-turn context extraction per conversation —
+    one conv_id exchange, vectorized tail gather + binary_join."""
+    import ray.data as rd
+
+    from splink_ray.datasets import transcripts_from_documents
+    from splink_ray.stages.canonicalize import last_k_turns
+
+    return last_k_turns(rd.from_arrow(transcripts_from_documents(sf_dir)), k=3)
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Relational showcase #2: orders ⋈ lineitem — BOTH sides large, so this
     is the distributed hash-shuffle join (vs the broadcast join in
@@ -1501,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "conversation_stats": q_conversation_stats,
         "turn_repetition": q_turn_repetition,
+        "last_k_turns": q_last_k_turns,
         "revenue_by_segment": q_revenue_by_segment,
         "revenue_by_priority": q_revenue_by_priority,
         "source_overlap": q_source_overlap,
@@ -2416,6 +2428,15 @@ def oracle_sql() -> dict[str, str]:
             "sum(length(turn_text)) AS total_chars, "
             "round(sum(length(turn_text))::DOUBLE / count(*), 6) AS avg_turn_chars "
             "FROM turns GROUP BY doc_id, c"
+        ),
+        "last_k_turns": (
+            f"WITH {_CANON_CTE}, "
+            "mx AS (SELECT doc_id, c, max(t) AS mt FROM turns GROUP BY doc_id, c) "
+            "SELECT 'd' || lpad(tu.doc_id::VARCHAR, 7, '0') || '-' || tu.c AS conv_id, "
+            "count(*) AS n_context_turns, "
+            "string_agg(tu.turn_text, chr(31) ORDER BY tu.t) AS context_text "
+            "FROM turns tu JOIN mx ON tu.doc_id = mx.doc_id AND tu.c = mx.c "
+            "WHERE tu.t > mx.mt - 3 GROUP BY tu.doc_id, tu.c"
         ),
         "turn_repetition": (
             f"WITH {_CANON_CTE}, "

@@ -260,3 +260,51 @@ def turn_repetition(ds, num_buckets: int | None = None):
         )
 
     return keyed_map(ds, "conv_id", _bucket, num_buckets=num_buckets)
+
+
+def last_k_turns(ds, k: int = 3, sep: str = "\x1f", num_buckets: int | None = None):
+    """Context-window extraction over transcripts: for every conversation,
+    the concatenation of its LAST ``k`` turns (by turn_idx, ``sep``-joined)
+    — the standard "recent context" construction for dialogue training
+    examples. Returns a Dataset (conv_id, n_context_turns, context_text).
+
+    One exchange on conv_id; inside a bucket the tail-gather is vectorized
+    (group starts → clamped tail ranges → one take + ListArray/binary_join),
+    no per-conversation Python.
+    """
+    from .exchange import group_starts, keyed_map
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_context_turns": pa.array([], pa.int64()),
+            "context_text": pa.array([], pa.string()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = t["conv_id"].combine_chunks()
+        starts = group_starts(conv)
+        ends = np.append(starts[1:], len(t))
+        tail_starts = np.maximum(ends - k, starts)
+        lens = ends - tail_starts
+        from .corpus import _segment_arange
+
+        gather = np.repeat(tail_starts, lens) + _segment_arange(lens)
+        texts = t["text"].combine_chunks().take(pa.array(gather))
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), texts), sep
+        )
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts)),
+                "n_context_turns": pa.array(lens, pa.int64()),
+                "context_text": joined,
+            }
+        )
+
+    return keyed_map(ds, "conv_id", _bucket, num_buckets=num_buckets)

@@ -234,3 +234,31 @@ def test_conversation_stats_and_repetition(ray_session):
     assert list(rep["n_pairs"]) == [2, 0]
     assert abs(rep["mean_jaccard"][0] - 0.25) < 1e-9
     assert rep["mean_jaccard"][1] == 0.0
+
+
+def test_last_k_turns_tail_extraction(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.canonicalize import last_k_turns
+
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 5 + ["c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 0], pa.int32()),
+            "role": pa.array(["user", "assistant"] * 3, pa.string()),
+            "text": pa.array(["t0", "t1", "t2", "t3", "t4", "solo"], pa.string()),
+            "tool": pa.array([""] * 6, pa.string()),
+            "ts": pa.array([base] * 6, pa.timestamp("us")),
+        }
+    )
+    out = (
+        last_k_turns(rd.from_arrow(t).repartition(3), k=3, sep="|", num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["context_text"]) == ["t2|t3|t4", "solo"]
+    assert list(out["n_context_turns"]) == [3, 1]
