@@ -422,3 +422,35 @@ def test_remove_dup_spans_overlapping_coverage(ray_session):
     assert out["clean_text"][0] == f"{span6} tail"
     assert out["clean_text"][1] == "head"
     assert out["n_tokens_removed"].tolist() == [0, 6]
+
+
+def test_remove_dup_spans_partitioning_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import remove_dup_spans
+
+    shared = "p q r s t"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [f"d{i} {shared} tail{i % 2}" for i in range(5)] + ["solo text"],
+                pa.string(),
+            ),
+        }
+    )
+    outs = []
+    for nb, parts in ((2, 1), (7, 4)):
+        outs.append(
+            remove_dup_spans(
+                rd.from_arrow(docs).repartition(parts), "text", "doc_id",
+                n=5, num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # keeper (doc 0) intact, all later docs lose the 5-gram span
+    assert outs[0]["n_tokens_removed"].tolist() == [0, 5, 5, 5, 5, 0]
