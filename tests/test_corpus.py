@@ -452,5 +452,8 @@ def test_remove_dup_spans_partitioning_invariant(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
-    # keeper (doc 0) intact, all later docs lose the 5-gram span
-    assert outs[0]["n_tokens_removed"].tolist() == [0, 5, 5, 5, 5, 0]
+    # keeper (doc 0) intact. Doc 1 only shares "p q r s t" (it IS the keeper
+    # of "q r s t tail1") -> 5 removed; docs 2-4 also share their
+    # "q r s t tailX" gram with an earlier keeper -> overlapping coverage of
+    # 6 tokens; the solo doc is untouched.
+    assert outs[0]["n_tokens_removed"].tolist() == [0, 5, 6, 6, 6, 0]
