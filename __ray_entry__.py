@@ -1417,6 +1417,76 @@ def _golden_records_sql() -> str:
     )
 
 
+_PR_D_CTE = (
+    "d AS (SELECT doc_id, array_to_string(list_slice(str_split(text, ' '), 1, 3), "
+    "' ') AS g FROM documents), "
+    "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b "
+    "ON a.g = b.g AND a.doc_id != b.doc_id), "
+    "deg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src), "
+    "cnt AS (SELECT count(*) AS n FROM deg)"
+)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank (recursive-CTE aggregation support
+    varies, an unrolled chain is engine-portable and mirror-exact)."""
+    ctes = [_PR_D_CTE, "pr0 AS (SELECT node, 1.0 / cnt.n AS r FROM deg, cnt)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.dst AS node, "
+            "0.15 / cnt.n + 0.85 * sum(p.r / dg.od) AS r "
+            f"FROM pr{i-1} p JOIN e ON e.src = p.node "
+            "JOIN deg dg ON dg.node = p.node CROSS JOIN cnt "
+            "GROUP BY e.dst, cnt.n)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, round(r, 6) AS rank FROM pr{iters}"
+    )
+
+
+def q_pagerank_docs(sf_dir: str):
+    """Iterative distributed algorithm: 5-iteration PageRank over the
+    symmetric doc near-dup graph (docs sharing a 3-token prefix) — each
+    iteration is two keyed exchanges with per-batch pre-aggregated
+    contributions, state materialized per round (CC-solver pattern)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from splink_ray.pipelines.clustering import pagerank
+    from splink_ray.stages.corpus import _token_lists, _window_join
+    from splink_ray.stages.dedup import _pairs_in_buckets
+    from splink_ray.stages.exchange import keyed_map
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t["text"])
+        k = np.minimum(ntok, 3)
+        doc_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+        grams = _window_join(flat, doc_starts, k)
+        return pa.table({"g": grams, "doc_id": t["doc_id"]})
+
+    pref = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _prefix, batch_format="pyarrow"
+    )
+
+    def _edges(t: pa.Table) -> pa.Table:
+        li, ri, ts = _pairs_in_buckets(t, "g", "doc_id")
+        ids = ts["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        a = ids.take(pa.array(li))
+        b = ids.take(pa.array(ri))
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, b]).combine_chunks(),
+                "dst": pa.chunked_array([b, a]).combine_chunks(),
+            }
+        )
+
+    edges = keyed_map(pref, "g", _edges)
+    return pagerank(edges, iters=5, damping=0.85)
+
+
 def q_golden_records(sf_dir: str):
     """ER survivorship: canonical record per flagship cluster — max n_turns,
     min unique_id tiebreak; one cluster-keyed exchange, vectorized argmax."""
@@ -1519,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": q_remove_dup_spans,
         "docs_above_q90": q_docs_above_q90,
         "golden_records": q_golden_records,
+        "pagerank_docs": q_pagerank_docs,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2452,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pj GROUP BY doc_id, c"
         ),
         "golden_records": _golden_records_sql(),
+        "pagerank_docs": _pagerank_sql(5),
         "flagship_predict": _flagship_predict_sql(),
         "flagship_clusters": _flagship_clusters_sql(),
     }

@@ -478,3 +478,232 @@ def golden_records(
         return t.take(pa.array(starts))
 
     return keyed_map(clustered_ds, cluster_col, _bucket, num_buckets=num_buckets)
+
+
+def pagerank(
+    edges_ds, iters: int = 5, damping: float = 0.85, num_buckets=None,
+    local_edge_limit: int = 2_000_000,
+):
+    """Fixed-iteration PageRank over a DIRECTED edge Dataset (src, dst) —
+    the iterative-linear-algebra companion to the CC solver: per iteration,
+    each node ships rank/out_degree along its out-edges and gathers the
+    damped incoming sum. Nodes must all have out-degree ≥ 1 (pass a
+    symmetrized edge list for undirected graphs — then in/out totality holds
+    and no dangling-mass term is needed; this matches the cluster-graph use).
+
+    Method selection mirrors the CC solver's bounded probe: when the edge
+    list is small (≤ ``local_edge_limit``, the usual case for thresholded ER
+    match graphs) the power iteration runs vectorized on the driver — 5
+    distributed iterations over a tiny graph would be pure fixed-latency
+    waste; above the bound the distributed path below runs.
+
+    Every iteration is TWO hash exchanges built from the same keyed_map
+    primitive as the CC rounds (no ``Dataset.join`` — robust to Ray 2.49's
+    schema-less empty aggregate partitions), with per-batch pre-aggregation
+    of contributions so only (dst, partial sum) rows shuffle; state is
+    materialized per round (O(nodes), bounded lineage — same pattern as the
+    distributed CC solver). Returns a Dataset (node, rank) rounded to 6
+    decimals after the final iteration.
+    """
+    import ray.data  # noqa: F401  (Dataset ops only)
+
+    from ..stages.exchange import keyed_map
+
+    edges_ds = edges_ds.materialize()
+
+    # bounded probe → local vectorized power iteration for small graphs
+    probe = edges_ds.limit(local_edge_limit + 1).count()
+    if probe <= local_edge_limit:
+        import ray as _ray
+
+        et = edges_ds.to_arrow_refs()
+        tbl = pa.concat_tables([_ray.get(r) for r in et], promote_options="default")
+        if len(tbl) == 0:
+            import ray as _ray2
+
+            return _ray2.data.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "rank": pa.array([], pa.float64())}
+                )
+            )
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        nodes, codes_s = np.unique(src, return_inverse=True)
+        codes_d = np.searchsorted(nodes, dst)
+        n = len(nodes)
+        od = np.bincount(codes_s, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n, np.float64)
+        base = (1.0 - damping) / n
+        for _ in range(iters):
+            rate = r / od
+            r = base + damping * np.bincount(
+                codes_d, weights=rate[codes_s], minlength=n
+            )
+        out = pa.table(
+            {
+                "node": pa.array(nodes),
+                "rank": pa.array(np.round(r, 6), pa.float64()),
+            }
+        )
+        return _ray.data.from_arrow(out)
+
+    # out-degree + node universe (symmetric edges: every node appears as src)
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["src"]).group_by("src", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["node", "od"])
+
+    from ray.data.aggregate import Sum
+
+    deg = (
+        edges_ds.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("od", alias_name="od"))
+        .materialize()
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        import pandas as pd
+        import ray as _ray
+
+        return _ray.data.from_pandas(pd.DataFrame({"node": [], "rank": []}))
+    base = (1.0 - damping) / n_nodes
+
+    def _init(t: pa.Table) -> pa.Table:
+        if "od" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "od": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "od": t["od"].cast(pa.int64()),
+                "r": pa.array(
+                    np.full(len(t), 1.0 / n_nodes, np.float64), pa.float64()
+                ),
+            }
+        )
+
+    state = deg.map_batches(_init, batch_format="pyarrow").materialize()
+
+    # static tagged edge rows (od/r null) unioned with state each round
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["src"].cast(pa.int64()),
+                "__dst": t["dst"].cast(pa.int64()),
+                "od": pa.nulls(len(t), pa.int64()),
+                "r": pa.nulls(len(t), pa.float64()),
+            }
+        )
+
+    edge_rows = edges_ds.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+
+    empty_contrib = pa.table(
+        {"node": pa.array([], pa.int64()), "__c": pa.array([], pa.float64())}
+    )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        is_state = pc.is_valid(t["r"]).to_numpy(zero_copy_only=False)
+        if is_state.all() or not is_state.any():
+            return empty_contrib
+        st = t.filter(pa.array(is_state))
+        ed = t.filter(pa.array(~is_state))
+        # per-node rate = r / od, attached to out-edges via Arrow C++ join
+        rate = pc.divide(
+            st["r"], pc.cast(st["od"], pa.float64())
+        )
+        j = ed.select(["node", "__dst"]).join(
+            pa.table({"node": st["node"], "__rate": rate}),
+            keys="node", join_type="inner",
+        )
+        g = (
+            pa.table({"node": j["__dst"], "__c": j["__rate"]})
+            .group_by("node", use_threads=False)
+            .aggregate([("__c", "sum")])
+        )
+        return g.rename_columns(["node", "__c"])
+
+    for _ in range(iters):
+        contribs = keyed_map(
+            edge_rows.union(
+                state.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": t["node"],
+                            "__dst": pa.nulls(len(t), pa.int64()),
+                            "od": t["od"],
+                            "r": t["r"],
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            "node",
+            _contrib,
+            num_buckets=num_buckets,
+        )
+        # second exchange: sum partial contributions per node, rejoin state
+        def _new_rank(t: pa.Table) -> pa.Table:
+            has_r = pc.is_valid(t["r"]).to_numpy(zero_copy_only=False)
+            st = t.filter(pa.array(has_r))
+            cb = t.filter(pa.array(~has_r))
+            if len(cb):
+                sums = (
+                    cb.select(["node", "__c"])
+                    .group_by("node", use_threads=False)
+                    .aggregate([("__c", "sum")])
+                    .rename_columns(["node", "__s"])
+                )
+                j = st.select(["node", "od"]).join(
+                    sums, keys="node", join_type="left outer"
+                )
+            else:
+                j = st.select(["node", "od"]).append_column(
+                    "__s", pa.nulls(len(st), pa.float64())
+                )
+            insum = pc.fill_null(j["__s"], 0.0).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": j["node"],
+                    "od": j["od"],
+                    "r": pa.array(base + damping * insum, pa.float64()),
+                }
+            )
+
+        state = keyed_map(
+            state.map_batches(
+                lambda t: t.append_column("__c", pa.nulls(len(t), pa.float64())),
+                batch_format="pyarrow",
+            ).union(
+                contribs.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": t["node"] if "node" in t.column_names else pa.array([], pa.int64()),
+                            "od": pa.nulls(len(t), pa.int64()) if "node" in t.column_names else pa.array([], pa.int64()),
+                            "r": pa.nulls(len(t), pa.float64()) if "node" in t.column_names else pa.array([], pa.float64()),
+                            "__c": t["__c"] if "__c" in t.column_names else pa.array([], pa.float64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            "node",
+            _new_rank,
+            num_buckets=num_buckets,
+        ).materialize()
+
+    def _final(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t["node"], "rank": pa.array(np.round(r, 6), pa.float64())}
+        )
+
+    return state.map_batches(_final, batch_format="pyarrow")

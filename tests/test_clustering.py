@@ -201,3 +201,32 @@ def test_golden_records_argmax_tiebreak(ray_session):
     # c1: max n_turns=5 tie between b,c -> min id b; c2: tie d,e -> d
     assert list(out["unique_id"]) == ["b", "d"]
     assert list(out["n_turns"]) == [5, 1]
+
+
+def test_pagerank_local_equals_distributed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import pagerank
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    t = pa.table(
+        {"src": pa.array([e[0] for e in edges], pa.int64()),
+         "dst": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    local = (
+        pagerank(rd.from_arrow(t), iters=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        pagerank(rd.from_arrow(t).repartition(3), iters=4, local_edge_limit=0,
+                 num_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(local["rank"], dist["rank"], atol=1e-6)
+    # a probability distribution (symmetric graph, no dangling mass)
+    assert abs(local["rank"].sum() - 1.0) < 1e-4
+    # degree-2 hub (node 2, degree 3) outranks the pendant chain
+    assert local["rank"][2] == local["rank"].max()
