@@ -1445,6 +1445,16 @@ def _pagerank_sql(iters: int = 5) -> str:
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Embeddings: per-label class centroids, flat (label, dim, n, c) rows —
+    pure partial aggregation, raw vectors never shuffle."""
+    from splink_ray.stages.ann import group_centroids
+
+    return group_centroids(
+        _ds(sf_dir, "embeddings", ["embedding", "label"]), "embedding", "label"
+    )
+
+
 def q_pagerank_docs(sf_dir: str):
     """Iterative distributed algorithm: 5-iteration PageRank over the
     symmetric doc near-dup graph (docs sharing a 3-token prefix) — each
@@ -1590,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_q90": q_docs_above_q90,
         "golden_records": q_golden_records,
         "pagerank_docs": q_pagerank_docs,
+        "label_centroids": q_label_centroids,
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
     }
@@ -2524,6 +2535,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "golden_records": _golden_records_sql(),
         "pagerank_docs": _pagerank_sql(5),
+        "label_centroids": (
+            "WITH dims AS (SELECT label, gs.i AS dim, "
+            "embedding[gs.i + 1]::DOUBLE AS v FROM embeddings CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) gs), "
+            "cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label) "
+            "SELECT d.label AS label, d.dim AS dim, c.n AS n, "
+            "round(sum(d.v) / c.n, 6) AS c "
+            "FROM dims d JOIN cnt c ON d.label = c.label "
+            "GROUP BY d.label, d.dim, c.n"
+        ),
         "flagship_predict": _flagship_predict_sql(),
         "flagship_clusters": _flagship_clusters_sql(),
     }

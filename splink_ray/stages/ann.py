@@ -349,3 +349,76 @@ def kmeans_topics(
         return pa.table({id_col: ids, "topic": pa.array(a, pa.int64())})
 
     return ds.map_batches(_final, batch_format="pyarrow")
+
+
+def group_centroids(ds, vec_col: str, group_col: str):
+    """Per-group mean embedding (class centroids — the building block for
+    nearest-class-mean classification and per-domain embedding drift
+    checks). Output is FLAT — one row per (group, dim) with the centroid
+    component — so it hashes/joins like any scalar table.
+
+    Pure partial aggregation: each batch reduces to (group, dim, partial
+    sum, partial n) rows — groups×dims-sized, independent of row count — and
+    one small ``groupby.sum`` finishes; raw vectors never shuffle. Returns a
+    Dataset (group_col, dim, n, c) with c rounded to 6 decimals.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        mat = vecs_to_numpy(t[vec_col])
+        dim = mat.shape[1]
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(groups, return_inverse=True)
+        acc = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(acc, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        g = np.repeat(uniq, dim)
+        d = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                group_col: pa.array(g),
+                "dim": pa.array(d, pa.int64()),
+                "s": pa.array(acc.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if "s" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                }
+            )
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "dim": t["dim"].cast(pa.int64()),
+                "n": t["n"].cast(pa.int64()),
+                "c": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(_finish, batch_format="pyarrow")

@@ -554,3 +554,28 @@ def test_text_embedder_feeds_ann(ray_session):
     # each query's nearest neighbour is itself (cosine 1.0)
     top = out[out["rank"] == 1].sort_values("query_id")
     assert list(top["vec_id"]) == [0, 1]
+
+
+def test_group_centroids_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.ann import group_centroids
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        group_centroids(rd.from_arrow(t).repartition(3), "embedding", "label")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 2, 1, 1]
+    np.testing.assert_allclose(out["c"], [2.0, 3.0, 5.0, 6.0], atol=1e-9)
