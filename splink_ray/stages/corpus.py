@@ -395,7 +395,10 @@ def decontaminate(ds, text_col: str, id_col: str, blocklist, n: int = 5):
 # ---------------------------------------------------------------------------
 
 
-def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
+def top_distinctive_terms(
+    ds, text_col: str, id_col: str, k: int = 3,
+    broadcast_threshold: int = 2_000_000,
+):
     """Per-document top-``k`` distinctive terms: rank a doc's terms by
     (term frequency DESC, global document frequency ASC, term ASC) — the
     integer-keyed version of tf-idf ranking (no float log, so the order is
@@ -405,20 +408,23 @@ def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
 
     1. **global DF** — per-batch DISTINCT (doc, term) pairs collapse to
        per-term partial doc-counts; only (term, count) rows reach the
-       ``groupby.sum``. The merged DF map is broadcast once via ``ray.put``
-       (for a 100-TB open vocabulary, swap the broadcast for the
-       huge-cardinality ``ds.join`` fallback as in stages/tf.py).
-    2. **per-doc ranking** — per-batch (doc, term) counts via the
-       dictionary-code ``np.unique`` trick, DF attached with ``pc.index_in``
-       against the broadcast vocab, alphabetical tie-break via
-       double-argsort dictionary ranks, one ``np.lexsort`` + group-run cut.
+       ``groupby.sum``.
+    2. **per-doc ranking** — if the vocabulary fits
+       (``<= broadcast_threshold``) the DF map broadcasts once via
+       ``ray.put`` and batches rank locally (dictionary-code ``np.unique``
+       counts, ``pc.index_in`` DF attach, one ``np.lexsort`` + group-run
+       cut). Above the threshold (100-TB open vocabulary) nothing is pulled
+       to the driver: exploded (doc, term, tf) rows attach DF via a
+       distributed ``ds.join`` on the term, then rank inside
+       doc-keyed exchange buckets — the same huge-cardinality fallback
+       ``unigram_logprob`` and stages/tf.py use.
 
     Oracle: tf/df CTEs + ``row_number()`` window
     (``__ray_entry__._distinctive_terms_sql``)."""
     from ray.data.aggregate import Sum
 
     from .blocking import _fetch_broadcast
-    from .exchange import broadcast
+    from .exchange import broadcast, default_parallelism, keyed_map
 
     def _doc_term(t: pa.Table):
         flat, ntok = _token_lists(t[text_col])
@@ -448,12 +454,20 @@ def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
             }
         )
 
-    df_tbl = (
+    counts_ds = (
         ds.map_batches(_df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .materialize()  # vocab-sized (term, df) rows, stays distributed
     )
+
+    if counts_ds.count() > broadcast_threshold:
+        return _top_distinctive_terms_join(
+            ds, text_col, id_col, k, counts_ds, _doc_term,
+            default_parallelism, keyed_map,
+        )
+
+    df_tbl = counts_ds.to_pandas()
     vocab_arr = pa.array(df_tbl["term"].to_numpy(), pa.string())
     df_arr = df_tbl["df"].to_numpy().astype(np.int64)
     ref = broadcast((vocab_arr, df_arr))
@@ -504,6 +518,89 @@ def top_distinctive_terms(ds, text_col: str, id_col: str, k: int = 3):
         )
 
     return ds.map_batches(_rank, batch_format="pyarrow")
+
+
+def _top_distinctive_terms_join(
+    ds, text_col, id_col, k, counts_ds, _doc_term, default_parallelism, keyed_map
+):
+    """Huge-vocabulary path for :func:`top_distinctive_terms`: no
+    driver-side DF table. Exploded per-doc (id, term, tf) rows join the
+    distributed (term, df) aggregate, then each doc's rows rank inside a
+    doc-keyed exchange bucket (vectorized lexsort + group-run cut)."""
+
+    def _explode_tf(t: pa.Table) -> pa.Table:
+        vocab, docs, ct, _n = _doc_term(t)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if vocab is None:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        codes_u, tf_counts = ct
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(docs)),
+                "term": vocab.take(pa.array(codes_u)),
+                "tf": pa.array(tf_counts, pa.int64()),
+            }
+        )
+
+    def _df_side(t: pa.Table) -> pa.Table:
+        # Ray 2.49: empty shuffled aggregate partitions lose their schema
+        if "df" not in t.column_names:
+            return pa.table(
+                {"__term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        return pa.table({"__term": t["term"], "df": t["df"].cast(pa.int64())})
+
+    nparts = max(2, default_parallelism() // 2)
+    joined = ds.map_batches(_explode_tf, batch_format="pyarrow").join(
+        counts_ds.map_batches(_df_side, batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts,
+        on=("term",), right_on=("__term",),
+    )
+
+    def _rank_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # group key codes for ids (any dtype) + alphabetical term ranks
+        id_codes = pc.dictionary_encode(ids).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        alpha = np.empty(len(terms), np.int64)
+        alpha[
+            pc.sort_indices(terms).to_numpy(zero_copy_only=False).astype(np.int64)
+        ] = np.arange(len(terms), dtype=np.int64)
+        order = np.lexsort((alpha, dfv, -tf, id_codes))
+        ids_s = id_codes[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ids_s)) + 1])
+        lens = np.diff(np.append(starts, len(ids_s)))
+        rank = np.arange(len(ids_s), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < k
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(sel)),
+                "term": terms.take(pa.array(sel)),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(dfv[sel], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return keyed_map(joined, id_col, _rank_bucket)
 
 
 # ---------------------------------------------------------------------------

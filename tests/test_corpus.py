@@ -254,6 +254,35 @@ def test_top_distinctive_terms_global_df(ray_session):
         ], f"nparts={nparts}"
 
 
+def test_top_distinctive_terms_join_fallback_matches_broadcast(ray_session):
+    """broadcast_threshold=0 forces the huge-vocab ds.join path; a synthetic
+    high-cardinality vocabulary (unique tokens per doc + shared ties) must
+    produce byte-identical rankings to the broadcast path."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(60):
+        uniq = " ".join(f"tok{i}_{j}" for j in range(5))  # 300 distinct terms
+        rows.append((i, f"{uniq} shared{i % 7} shared{i % 7} common"))
+    docs = pa.table(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    for nparts in (1, 5):
+        ds = rd.from_arrow(docs).repartition(nparts)
+        bc = (
+            corpus.top_distinctive_terms(ds, "text", "doc_id", k=3)
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        )
+        jn = (
+            corpus.top_distinctive_terms(
+                ds, "text", "doc_id", k=3, broadcast_threshold=0
+            )
+            .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        )
+        assert list(bc.columns) == list(jn.columns)
+        assert bc.equals(jn), f"nparts={nparts}"
+
+
 def test_dup_span_stats_hand_computed(ray_session):
     import ray.data as rd
 
