@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 from splink_ray import Settings, block_on, col
 import splink_ray.comparison_level_library as cll
+from splink_ray.kernels import round_half_away
 from splink_ray.settings import Comparison
 
 # committed fixed-seed signature fixtures (tools/make_fixtures.py): the
@@ -46,8 +47,10 @@ def _ds(sf_dir: str, table: str, columns=None):
 
 
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    from splink_ray.kernels import round_half_away
+
     for c, n in cols.items():
-        df[c] = df[c].astype(float).round(n)
+        df[c] = round_half_away(df[c].astype(float), n)
     return df
 
 
@@ -288,23 +291,7 @@ def q_truth_space_customer(sf_dir: str):
     labels = pairs.select_columns(["c_custkey_l", "c_custkey_r"]).map_batches(
         _lab, batch_format="pyarrow"
     )
-    ts = truth_space_table(scored, labels, uid="c_custkey")
-    ts["truth_threshold"] = ts["truth_threshold"].round(6)
-    g = ts.groupby("truth_threshold", as_index=False).agg(
-        tp=("tp", "max"), fp=("fp", "max"), fn=("fn", "min"), tn=("tn", "min")
-    )
-    p_total = (g["tp"] + g["fn"]).to_numpy()
-    tp, fp = g["tp"].to_numpy(), g["fp"].to_numpy()
-    with np.errstate(divide="ignore", invalid="ignore"):
-        prec = np.where(tp + fp > 0, tp / (tp + fp), 0.0)
-        rec = np.where(p_total > 0, tp / np.maximum(p_total, 1), 0.0)
-        f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
-    g["precision"] = np.round(prec, 6)
-    g["recall"] = np.round(rec, 6)
-    g["f1"] = np.round(f1, 6)
-    for c in ("tp", "fp", "fn", "tn"):
-        g[c] = g[c].astype("int64")
-    return g
+    return truth_space_table(scored, labels, uid="c_custkey", collapse_rounded=6)
 
 
 def q_exploding_pairs(sf_dir: str):
@@ -573,8 +560,8 @@ def q_quality_docs(sf_dir: str):
                 "doc_id": t["doc_id"],
                 "n_chars": pa.array(q["n_chars"], pa.int64()),
                 "n_tokens": pa.array(q["n_tokens"], pa.int64()),
-                "mean_token_len": pa.array(np.round(q["mean_token_len"], 6)),
-                "punct_ratio": pa.array(np.round(q["punct_ratio"], 6)),
+                "mean_token_len": pa.array(round_half_away(q["mean_token_len"], 6)),
+                "punct_ratio": pa.array(round_half_away(q["punct_ratio"], 6)),
             }
         )
 
@@ -1080,12 +1067,16 @@ def q_dedup_against_docs(sf_dir: str):
 def q_jaccard_against_docs(sf_dir: str):
     """Dedup: FUZZY cross-corpus decontamination — corpus docs near-matching
     (exact token Jaccard ≥ 0.7) a reference set built deterministically as
-    the doc_id % 37 == 0 docs with their last 3 words dropped; LSH proposes
-    only cross-side candidates, exact verify gates the output."""
+    the doc_id % 37 == 0 docs with their last 3 words dropped. Uses the
+    EXACT-recall prefix-filter candidate scheme (AllPairs/SSJoin) so the
+    engine computes the same function as the exhaustive cross-join oracle
+    by construction (ADVICE r3 — the MinHash-LSH variant
+    ``ngram_jaccard_against`` has probabilistic recall and stays the scale
+    default for open-world dedup, covered by its own recall tests)."""
     import numpy as np
 
     from splink_ray.stages.corpus import _token_lists, _window_join
-    from splink_ray.stages.dedup import ngram_jaccard_against
+    from splink_ray.stages.dedup import prefix_jaccard_against
 
     ds = _ds(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1109,7 +1100,7 @@ def q_jaccard_against_docs(sf_dir: str):
         )
 
     ref = ds.map_batches(_ref, batch_format="pyarrow")
-    return ngram_jaccard_against(ds, ref, "text", "doc_id", threshold=0.7)
+    return prefix_jaccard_against(ds, ref, "text", "doc_id", threshold=0.7)
 
 
 def q_embedding_dedup_groups(sf_dir: str):
@@ -1253,7 +1244,7 @@ def q_revenue_by_segment(sf_dir: str):
             {
                 "c_mktsegment": t["c_mktsegment"],
                 "n_orders": t["n_orders"].cast(pa.int64()),
-                "revenue": pa.array(np.round(rev, 2), pa.float64()),
+                "revenue": pa.array(round_half_away(rev, 2), pa.float64()),
             }
         )
 
@@ -1335,7 +1326,7 @@ def q_revenue_by_priority(sf_dir: str):
             {
                 "o_orderpriority": t["o_orderpriority"],
                 "n_items": t["n_items"].cast(pa.int64()),
-                "revenue": pa.array(np.round(rev, 2), pa.float64()),
+                "revenue": pa.array(round_half_away(rev, 2), pa.float64()),
             }
         )
 

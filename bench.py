@@ -16,9 +16,12 @@ The recorded number is a MEDIAN: one untimed warmup linkage run, then
 draw is not a measurement). Per-run linkage times are included in the JSON.
 
 ``--scaling`` mode: runs the identical job in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input and
-prints both times + scaling efficiency = (T8/T32)/4 — the sandbox substitute
-for the N-vs-4N-node cluster criterion (SURVEY.md §4.2.5). Scaling legs use
+num_cpus=$BENCH_SCALE_LO and $BENCH_SCALE_HI (default 4 and 16 — both legs
+below this VM's >16-core hypervisor steal throttle; set LO=8 HI=32 for the
+full-width pair, steal%% is recorded per leg either way) on the same
+(pre-generated, page-warm) input and prints both times + scaling
+efficiency = (T_lo/T_hi)/(hi/lo) — the sandbox substitute for the
+N-vs-4N-node cluster criterion (SURVEY.md §4.2.5). Scaling legs use
 BENCH_RUNS=1 (wall-clock bounded); run the mode twice for two series.
 
 The transcript fixture is generated once (vectorized, seed-fixed) and cached

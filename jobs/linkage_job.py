@@ -55,9 +55,10 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        # under `ray job submit` the job runtime provides the cluster
-        # address; standalone falls back to a local session
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+        # under `ray job submit` the job runtime sets RAY_ADDRESS; standalone
+        # (no cluster) must pass NO address — address="auto" raises
+        # ConnectionError when nothing is running (ADVICE r3)
+        ray.init(address=os.environ.get("RAY_ADDRESS"),
                  ignore_reinit_error=True)
 
     import ray.data as rd

@@ -50,33 +50,46 @@ class DuckKernel:
         this cuts the C++ kernel work by the mean copy-product while staying
         byte-exact."""
         n = len(l)
-        dedupable = (
-            pa.types.is_string(l.type) or pa.types.is_large_string(l.type)
-        ) and (pa.types.is_string(r.type) or pa.types.is_large_string(r.type))
-        if n >= 2048 and dedupable:
-            # per-chunk dictionaries aren't comparable — flatten first
-            if isinstance(l, pa.ChunkedArray):
-                l = l.combine_chunks()
-            if isinstance(r, pa.ChunkedArray):
-                r = r.combine_chunks()
-            lc = pa.compute.dictionary_encode(l)
-            rc = pa.compute.dictionary_encode(r)
-            # bail before the (expensive) combined factorize when duplicate
-            # pairs are impossible-to-rare: distinct combos are bounded by
-            # |dict_l|·|dict_r| (salted stranger blocks land here)
-            if len(lc.dictionary) * len(rc.dictionary) >= 0.8 * n:
-                return self._eval_raw(expr_sql, l, r)
+
+        def _group_key(arr):
+            """Equality-grouping key for dedup: strings group as-is; string
+            lists group on an order-sensitive serialization (conservative —
+            identical key ⟹ identical value, so results stay byte-exact;
+            a null key only arises from a null value, and every kernel is
+            null-in → null-out, so grouping nulls together is sound)."""
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                return arr, arr
+            if pa.types.is_list(arr.type) and (
+                pa.types.is_string(arr.type.value_type)
+                or pa.types.is_large_string(arr.type.value_type)
+            ):
+                return pa.compute.binary_join(arr, "\x1f"), arr
+            return None, arr
+
+        kl, l = _group_key(l)
+        kr, r = _group_key(r)
+        if n >= 2048 and kl is not None and kr is not None:
+            lc = pa.compute.dictionary_encode(kl)
+            rc = pa.compute.dictionary_encode(kr)
             li = lc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
             ri = rc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
             width = np.int64(len(rc.dictionary) + 2)
             comb = (li + 1) * width + (ri + 1)
             # hash-based factorize (no sort) + reverse-scatter for first
-            # occurrence — ~5× cheaper than np.unique here
+            # occurrence — ~5× cheaper than np.unique here. ALWAYS measure
+            # the true distinct ratio: the former |dict_l|·|dict_r| >= 0.8n
+            # pre-bail skipped dedup on dense entity blocks whose PRODUCT
+            # bound is huge but whose actual distinct (l,r) ratio is ~0.68
+            # (measured on the 1000-entities/day bench bucket — r3 verdict
+            # item #6); the factorize itself is ~0.4% of one JW evaluation
+            # over the same rows, so measuring always is free
             import pandas as pd
 
             inverse, uniques = pd.factorize(comb, sort=False)
             k = len(uniques)
-            if k <= 0.8 * n:
+            if k <= 0.9 * n:
                 first_idx = np.empty(k, np.int64)
                 first_idx[inverse[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
                 res = self._eval_raw(

@@ -123,7 +123,9 @@ def match_weight_sql(settings: Settings, tf_adjusted: bool = False) -> str:
 
 
 def truth_space_from_scores(
-    scores: pd.DataFrame, label_col: str = "clerical_match_score"
+    scores: pd.DataFrame,
+    label_col: str = "clerical_match_score",
+    collapse_rounded: int | None = None,
 ) -> pd.DataFrame:
     """Threshold sweep → TP/FP/FN/TN + precision/recall/F1 per threshold.
 
@@ -131,6 +133,15 @@ def truth_space_from_scores(
     ``scores`` holds one row per labeled pair with ``match_weight``,
     ``match_probability`` and the clerical label (≥0.5 ⇒ positive).
     Driver-side pandas — label sets are small (SURVEY.md §2.10 A2).
+
+    ``collapse_rounded=d``: round thresholds to ``d`` decimals and collapse
+    equal rounded thresholds to one row carrying the GROUP-END counts —
+    exactly the SQL ``sum(y) OVER (ORDER BY w DESC)`` default-RANGE-frame
+    (peers included) + rounded-threshold ``GROUP BY max(...)`` semantics the
+    driver oracle uses: distinct exact weights that round to the same
+    threshold share the cumulative through the LAST of them. Metrics are
+    recomputed from the collapsed counts and rounded half-away (DuckDB
+    ``round`` parity); count columns return as int64.
     """
     df = scores.sort_values("match_weight", ascending=False, kind="mergesort")
     y = (df[label_col].to_numpy() >= 0.5).astype(np.int64)
@@ -144,7 +155,7 @@ def truth_space_from_scores(
         precision = np.where(tp + fp > 0, tp / (tp + fp), 0.0)
         recall = np.where(p_total > 0, tp / p_total, 0.0)
         f1 = np.where(precision + recall > 0, 2 * precision * recall / (precision + recall), 0.0)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "truth_threshold": df["match_weight"].to_numpy(),
             "match_probability": df["match_probability"].to_numpy(),
@@ -152,3 +163,27 @@ def truth_space_from_scores(
             "precision": precision, "recall": recall, "f1": f1,
         }
     )
+    if collapse_rounded is None:
+        return out
+    from .kernels import round_half_away
+
+    out = out.drop(columns=["match_probability"])
+    out["truth_threshold"] = round_half_away(
+        out["truth_threshold"], collapse_rounded
+    )
+    g = out.groupby("truth_threshold", as_index=False).agg(
+        tp=("tp", "max"), fp=("fp", "max"), fn=("fn", "min"), tn=("tn", "min")
+    )
+    tp = g["tp"].to_numpy()
+    fp = g["fp"].to_numpy()
+    p_tot = tp + g["fn"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        rec = np.where(p_tot > 0, tp / np.maximum(p_tot, 1), 0.0)
+        f1 = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-300), 0.0)
+    g["precision"] = round_half_away(prec, collapse_rounded)
+    g["recall"] = round_half_away(rec, collapse_rounded)
+    g["f1"] = round_half_away(f1, collapse_rounded)
+    for c in ("tp", "fp", "fn", "tn"):
+        g[c] = g[c].astype("int64")
+    return g

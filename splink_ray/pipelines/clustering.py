@@ -28,6 +28,8 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -532,6 +534,18 @@ def pagerank(
         nodes, codes_s = np.unique(src, return_inverse=True)
         codes_d = np.searchsorted(nodes, dst)
         n = len(nodes)
+        # validate the documented out-degree >= 1 precondition: a dst never
+        # appearing as src makes searchsorted return a silent insertion
+        # point, attributing its rank mass to the wrong node (ADVICE r3)
+        in_range = codes_d < n
+        if not in_range.all() or not (
+            nodes[codes_d[in_range]] == dst[in_range]
+        ).all():
+            raise ValueError(
+                "pagerank requires every dst node to appear as a src "
+                "(out-degree >= 1); symmetrize the edge list for "
+                "undirected graphs"
+            )
         od = np.bincount(codes_s, minlength=n).astype(np.float64)
         r = np.full(n, 1.0 / n, np.float64)
         base = (1.0 - damping) / n
@@ -543,7 +557,7 @@ def pagerank(
         out = pa.table(
             {
                 "node": pa.array(nodes),
-                "rank": pa.array(np.round(r, 6), pa.float64()),
+                "rank": pa.array(round_half_away(r, 6), pa.float64()),
             }
         )
         return _ray.data.from_arrow(out)
@@ -662,6 +676,17 @@ def pagerank(
                     .aggregate([("__c", "sum")])
                     .rename_columns(["node", "__s"])
                 )
+                # same precondition as the local path: a contribution whose
+                # dst has no state row (never seen as src) would silently
+                # drop its rank mass here — fail loudly instead (ADVICE r3)
+                if len(sums) and not pc.all(
+                    pc.is_valid(pc.index_in(sums["node"], value_set=st["node"]))
+                ).as_py():
+                    raise ValueError(
+                        "pagerank requires every dst node to appear as a "
+                        "src (out-degree >= 1); symmetrize the edge list "
+                        "for undirected graphs"
+                    )
                 j = st.select(["node", "od"]).join(
                     sums, keys="node", join_type="left outer"
                 )
@@ -703,7 +728,7 @@ def pagerank(
     def _final(t: pa.Table) -> pa.Table:
         r = t["r"].to_numpy(zero_copy_only=False)
         return pa.table(
-            {"node": t["node"], "rank": pa.array(np.round(r, 6), pa.float64())}
+            {"node": t["node"], "rank": pa.array(round_half_away(r, 6), pa.float64())}
         )
 
     return state.map_batches(_final, batch_format="pyarrow")

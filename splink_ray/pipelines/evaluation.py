@@ -38,13 +38,20 @@ def predictions_with_labels(predictions_ds, labels_ds, uid: str = "unique_id"):
     return out
 
 
-def truth_space_table(predictions_ds, labels_ds, uid: str = "unique_id") -> pd.DataFrame:
+def truth_space_table(
+    predictions_ds,
+    labels_ds,
+    uid: str = "unique_id",
+    collapse_rounded: int | None = None,
+) -> pd.DataFrame:
     """Threshold sweep TP/FP/FN/TN + precision/recall/F1 (A2). Label sets are
-    small → driver-side pandas after the join (SURVEY.md §2.10)."""
+    small → driver-side pandas after the join (SURVEY.md §2.10).
+    ``collapse_rounded``: see :func:`splink_ray.model.truth_space_from_scores`
+    (SQL RANGE-peers collapse at rounded thresholds)."""
     df = predictions_with_labels(predictions_ds, labels_ds, uid).to_pandas()
     df["match_weight"] = df["match_weight"].fillna(-np.inf)
     df["match_probability"] = df["match_probability"].fillna(0.0)
-    return truth_space_from_scores(df)
+    return truth_space_from_scores(df, collapse_rounded=collapse_rounded)
 
 
 def accuracy_at_threshold(

@@ -242,7 +242,13 @@ def find_matches_to_new_records(
             self.new: pa.Table = ray.get(new_ref)
             self.settings = settings
             self.ctx = make_eval_context(settings)
-            self.tf_maps = {c: ray.get(r) for c, r in (tf_refs or {}).items()}
+            from ..stages.tf import tf_map_to_arrays
+
+            # convert value→tf dicts to Arrow arrays once per actor
+            self.tf_maps = {
+                c: (r if isinstance(r, str) else tf_map_to_arrays(ray.get(r)))
+                for c, r in (tf_refs or {}).items()
+            }
             self.rules = settings.blocking_rules_to_generate_predictions
             # per-rule new-record keys (object ndarray) + non-null (key, row)
             # frame for the vectorized corpus merge

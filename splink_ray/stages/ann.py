@@ -16,6 +16,8 @@ No splink analogue — first-class training-data operators (task brief).
 from __future__ import annotations
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -68,7 +70,7 @@ def _merge_topk_distributed(partial_ds, id_col: str, k: int):
         import pandas as pd
 
         df = t.to_pandas()
-        df["score"] = np.round(df["score"], 12)
+        df["score"] = round_half_away(df["score"], 12)
         df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
         df = df.groupby("query_id", sort=True).head(k)
         df["rank"] = df.groupby("query_id").cumcount() + 1
@@ -329,9 +331,9 @@ def kmeans_topics(
         )
         new_cents = cents.copy()
         for r in rows:
-            new_cents[int(r["c"])] = np.floor(
-                np.asarray(r["s"], np.float64) / r["n"] * 1e6 + 0.5
-            ) / 1e6
+            new_cents[int(r["c"])] = round_half_away(
+                np.asarray(r["s"], np.float64) / r["n"], 6
+            )
         cents = new_cents
 
     ref = broadcast(cents)
@@ -417,7 +419,7 @@ def group_centroids(ds, vec_col: str, group_col: str):
                 group_col: t[group_col],
                 "dim": t["dim"].cast(pa.int64()),
                 "n": t["n"].cast(pa.int64()),
-                "c": pa.array(np.round(s / n, 6), pa.float64()),
+                "c": pa.array(round_half_away(s / n, 6), pa.float64()),
             }
         )
 

@@ -602,9 +602,12 @@ def _fused_tf_maps(tf_refs):
     if key not in _TF_CACHE:
         import ray
 
-        # string values are sentinels (tf.TF_FROM_COLUMNS), not object refs
+        from .tf import tf_map_to_arrays
+
+        # string values are sentinels (tf.TF_FROM_COLUMNS), not object refs;
+        # dicts convert to Arrow arrays ONCE per process for pc.index_in
         _TF_CACHE[key] = {
-            c: (ref if isinstance(ref, str) else ray.get(ref))
+            c: (ref if isinstance(ref, str) else tf_map_to_arrays(ray.get(ref)))
             for c, ref in tf_refs.items()
         }
     return _TF_CACHE[key]

@@ -20,6 +20,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -199,7 +201,7 @@ def conversation_stats(ds, num_buckets: int | None = None):
                 "n_turns": t["n_turns"].cast(pa.int64()),
                 "n_user_turns": t["n_user_turns"].cast(pa.int64()),
                 "total_chars": t["total_chars"].cast(pa.int64()),
-                "avg_turn_chars": pa.array(np.round(c / n, 6), pa.float64()),
+                "avg_turn_chars": pa.array(round_half_away(c / n, 6), pa.float64()),
             }
         )
 
@@ -255,7 +257,7 @@ def turn_repetition(ds, num_buckets: int | None = None):
             {
                 "conv_id": conv.take(pa.array(first_rows)),
                 "n_pairs": pa.array(n_pairs, pa.int64()),
-                "mean_jaccard": pa.array(np.round(mean, 6), pa.float64()),
+                "mean_jaccard": pa.array(round_half_away(mean, 6), pa.float64()),
             }
         )
 

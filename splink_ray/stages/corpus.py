@@ -22,6 +22,8 @@ canonicalize oracle).
 from __future__ import annotations
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -709,7 +711,7 @@ def dup_span_stats(ds, text_col: str, id_col: str, n: int = 5, num_buckets=None)
         ) else t["n_spans"]
         spans = nsp.to_numpy(zero_copy_only=False).astype(np.float64)
         frac = ns.to_numpy(zero_copy_only=False) / np.maximum(spans, 1.0)
-        frac6 = np.floor(frac * 1e6 + 0.5) / 1e6
+        frac6 = round_half_away(frac, 6)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -849,7 +851,7 @@ def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
             {
                 "gram": t["gram"],
                 "n": t["n"],
-                "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+                "pmi": pa.array(round_half_away(pmi, 6), pa.float64()),
             }
         )
 
@@ -947,7 +949,7 @@ def unigram_logprob(
                 {
                     id_col: t[id_col].filter(pa.array(keep)),
                     "n_tokens": pa.array(ntok[keep], pa.int64()),
-                    "logprob": pa.array(np.round(mean, 6), pa.float64()),
+                    "logprob": pa.array(round_half_away(mean, 6), pa.float64()),
                 }
             )
 
@@ -995,7 +997,7 @@ def unigram_logprob(
             {
                 id_col: t[id_col],
                 "n_tokens": t["n_tokens"].cast(pa.int64()),
-                "logprob": pa.array(np.round(s / n, 6), pa.float64()),
+                "logprob": pa.array(round_half_away(s / n, 6), pa.float64()),
             }
         )
 

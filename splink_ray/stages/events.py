@@ -23,6 +23,8 @@ commutative/associative so it needs no co-location at all.
 from __future__ import annotations
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -327,7 +329,7 @@ def event_transitions(
             {"from_type": [], "to_type": [], "n": [], "p": []}
         )
     tot = merged.groupby("from_type")["n"].transform("sum")
-    merged["p"] = (merged["n"].astype(float) / tot.astype(float)).round(6)
+    merged["p"] = round_half_away(merged["n"].astype(float) / tot.astype(float), 6)
     return merged.reset_index(drop=True)
 
 
@@ -401,7 +403,7 @@ def rolling_window_stats(
             {
                 id_col: t[id_col],
                 "n_window": pa.array(right - left, pa.int64()),
-                "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+                "sum_value": pa.array(round_half_away(sums, 6), pa.float64()),
             }
         )
 

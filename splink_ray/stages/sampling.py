@@ -15,6 +15,8 @@ the SQL oracles by construction (same md5, same VARCHAR key rendering).
 from __future__ import annotations
 
 import numpy as np
+
+from ..kernels import round_half_away
 import pyarrow as pa
 
 U32_SPACE = float(2**32)
@@ -168,6 +170,6 @@ def temperature_sample(
     n = np.array([r["n"] for r in cnt], np.float64)
     w = n ** alpha
     rate = np.minimum(1.0, target_total * (w / w.sum()) / n)
-    rate6 = np.floor(rate * 1e6 + 0.5) / 1e6
+    rate6 = round_half_away(rate, 6)
     rates = dict(zip(names, rate6))
     return stratified_sample(ds, key_col, rates, strata_col, default_rate=0.0)

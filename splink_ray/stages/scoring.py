@@ -25,7 +25,7 @@ from ..settings import Settings, make_eval_context
 
 
 def _tf_lookup(tf_maps: dict, pairs: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
-    from .tf import TF_FROM_COLUMNS
+    from .tf import TF_FROM_COLUMNS, tf_map_to_arrays, tf_take
 
     m = tf_maps.get(column)
     if m is None:
@@ -38,9 +38,12 @@ def _tf_lookup(tf_maps: dict, pairs: pa.Table, column: str) -> tuple[np.ndarray,
         tl = pairs[f"tf_{column}_l"].to_numpy(zero_copy_only=False).astype(np.float64)
         tr = pairs[f"tf_{column}_r"].to_numpy(zero_copy_only=False).astype(np.float64)
         return tl, tr
-    tl = pd.Series(pairs[f"{column}_l"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
-    tr = pd.Series(pairs[f"{column}_r"].to_pandas()).map(m).to_numpy(np.float64, na_value=np.nan)
-    return tl, tr
+    if isinstance(m, dict):  # driver-side callers (compare_two_records)
+        m = tf_map_to_arrays(m)
+    keys, vals = m
+    return tf_take(pairs[f"{column}_l"], keys, vals), tf_take(
+        pairs[f"{column}_r"], keys, vals
+    )
 
 
 def score_pair_batch(
@@ -112,9 +115,16 @@ class GammaScorer:
         if tf_refs:
             import ray
 
-            # string values are sentinels (TF_FROM_COLUMNS), not object refs
+            from .tf import tf_map_to_arrays
+
+            # string values are sentinels (TF_FROM_COLUMNS), not object refs;
+            # dicts convert to Arrow arrays ONCE per actor for pc.index_in
             self.tf_maps = {
-                c: (ref if isinstance(ref, str) else ray.get(ref))
+                c: (
+                    ref
+                    if isinstance(ref, str)
+                    else tf_map_to_arrays(ray.get(ref))
+                )
                 for c, ref in tf_refs.items()
             }
 

@@ -154,8 +154,20 @@ def bm25_search(
         # tie-break matches the global (score DESC, id ASC) order so the
         # prune never changes the final top-k
         if len(keep) > k:
-            idv = ids.take(pa.array(keep)).to_numpy(zero_copy_only=False)
-            tie = idv if np.issubdtype(idv.dtype, np.number) else keep
+            idv = ids.take(pa.array(keep))
+            idv_np = idv.to_numpy(zero_copy_only=False)
+            if np.issubdtype(idv_np.dtype, np.number):
+                tie = idv_np
+            else:
+                # non-numeric ids: lexical ranks via Arrow sort (ADVICE r3 —
+                # batch-local positions could drop a row that ties at the k
+                # boundary but wins the global (score DESC, id ASC) sort)
+                tie = np.empty(len(keep), np.int64)
+                tie[
+                    pc.sort_indices(idv)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ] = np.arange(len(keep), dtype=np.int64)
             order = np.lexsort((tie, -score6))[:k]
             keep, score6 = keep[order], score6[order]
         return pa.table(

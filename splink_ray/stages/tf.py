@@ -13,8 +13,39 @@ actor) rather than a shuffle join — SURVEY.md T2.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def tf_map_to_arrays(m: dict) -> tuple[pa.Array, np.ndarray]:
+    """(value keys as Arrow array, tf values as float64) — the vectorized
+    representation of a value→tf dict for ``pc.index_in`` lookups. Convert
+    ONCE per actor/process (fetch time), never per batch."""
+    if not m:
+        return pa.array([], pa.string()), np.array([], np.float64)
+    keys = pa.array(list(m.keys()))
+    vals = np.fromiter(m.values(), dtype=np.float64, count=len(m))
+    return keys, vals
+
+
+def tf_take(values, keys: pa.Array, vals: np.ndarray) -> np.ndarray:
+    """Vectorized dict lookup: tf per value, NaN where missing/null —
+    ``pc.index_in`` + fancy-index instead of a per-value Python
+    ``pd.Series.map`` (r3 verdict wrong-item #4)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    n = len(values)
+    if len(keys) == 0:
+        return np.full(n, np.nan)
+    if values.type != keys.type:
+        values = values.cast(keys.type)
+    idx = pc.fill_null(pc.index_in(values, value_set=keys), -1)
+    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.full(n, np.nan)
+    found = idx_np >= 0
+    out[found] = vals[idx_np[found]]
+    return out
 
 
 def term_frequency_counts(records_ds, column: str):
@@ -53,8 +84,6 @@ def attach_tf_columns(records_ds, tf_maps: dict[str, dict]):
     the reference's ``__splink__df_concat_with_tf`` shape (SURVEY §2.7).
     The (small) tf maps are broadcast once via ``ray.put`` and fetched per
     actor, never re-shipped per batch."""
-    import pandas as pd
-
     from .exchange import broadcast, default_parallelism
 
     ref = broadcast(tf_maps)
@@ -63,16 +92,17 @@ def attach_tf_columns(records_ds, tf_maps: dict[str, dict]):
         def __init__(self, ref):
             import ray
 
-            self.maps = ray.get(ref)
+            # dict → (keys, vals) arrays once per actor; per batch is a
+            # vectorized pc.index_in, not a per-value Python map
+            self.maps = {
+                c: tf_map_to_arrays(m) for c, m in ray.get(ref).items()
+            }
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            for col, m in self.maps.items():
-                vals = (
-                    pd.Series(t[col].to_pandas())
-                    .map(m)
-                    .to_numpy(dtype="float64", na_value=float("nan"))
+            for col, (keys, vals) in self.maps.items():
+                t = t.append_column(
+                    f"tf_{col}", pa.array(tf_take(t[col], keys, vals), pa.float64())
                 )
-                t = t.append_column(f"tf_{col}", pa.array(vals, pa.float64()))
             return t
 
     p = default_parallelism()

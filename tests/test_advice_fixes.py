@@ -405,3 +405,155 @@ def test_tf_high_cardinality_join_path_matches_broadcast(ray_session):
     np.testing.assert_array_equal(
         a["gamma_city"].to_numpy(), b["gamma_city"].to_numpy()
     )
+
+
+def test_prefix_jaccard_against_matches_bruteforce(ray_session):
+    """ADVICE r4: the prefix-filter candidate scheme must have EXACT recall —
+    compare against the O(n*m) brute-force token Jaccard on random docs with
+    many borderline pairs (the regime where LSH recall degrades)."""
+    import itertools
+
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import prefix_jaccard_against
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def mkdoc():
+        n = rng.integers(4, 12)
+        return " ".join(sorted(rng.choice(vocab, size=n, replace=False)))
+
+    corpus = [(i, mkdoc()) for i in range(80)]
+    # reference: perturbed copies (near-dups at every jaccard level) + fresh
+    ref = []
+    for j in range(60):
+        base = corpus[j][1].split()
+        drop = rng.integers(0, max(len(base) - 2, 1))
+        ref.append((1000 + j, " ".join(base[drop:])))
+    for j in range(20):
+        ref.append((2000 + j, mkdoc()))
+
+    def tok(s):
+        return set(s.split())
+
+    t = 0.6
+    expected = set()
+    for (ci, ct), (ri, rt) in itertools.product(corpus, ref):
+        a, b = tok(ct), tok(rt)
+        if not a and not b:
+            continue
+        j = len(a & b) / len(a | b)
+        if j >= t:
+            expected.add((ci, ri))
+
+    cds = rd.from_arrow(
+        pa.table({"doc_id": [c[0] for c in corpus],
+                  "text": [c[1] for c in corpus]})
+    ).repartition(4)
+    rds = rd.from_arrow(
+        pa.table({"doc_id": [r[0] for r in ref],
+                  "text": [r[1] for r in ref]})
+    ).repartition(3)
+    out = prefix_jaccard_against(
+        cds, rds, "text", "doc_id", threshold=t
+    ).to_pandas()
+    got = set(zip(out["doc_id"], out["ref_id"]))
+    assert got == expected and len(expected) > 30
+
+
+def test_bm25_string_id_tie_break(ray_session):
+    """ADVICE r3: with string ids and tied scores at the k boundary, the
+    per-batch prune must keep the rows the global (score DESC, id ASC) sort
+    would keep."""
+    import ray.data as rd
+
+    from splink_ray.stages.search import bm25_search
+
+    # 6 identical docs -> identical scores; ids chosen so lexical order
+    # disagrees with insertion order inside the batch
+    ids = ["z9", "a1", "m5", "b2", "y8", "c3"]
+    docs = pa.table({"doc_id": ids, "text": ["hash spark window"] * 6})
+    out = bm25_search(
+        rd.from_arrow(docs).repartition(1),
+        "text", "doc_id", ["hash", "spark", "window"], k=3,
+    ).to_pandas()
+    assert list(out["doc_id"]) == ["a1", "b2", "c3"]
+
+
+def test_pagerank_rejects_unsymmetrized_edges(ray_session):
+    """ADVICE r3: a dst never appearing as src must raise, not silently
+    attribute rank mass to the wrong node — both local and distributed."""
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import pagerank
+
+    edges = pa.table({"src": [1, 2], "dst": [2, 99]})  # 99 never a src
+    with pytest.raises(ValueError, match="symmetrize"):
+        pagerank(rd.from_arrow(edges)).to_pandas()
+    with pytest.raises(ValueError, match="symmetrize"):
+        pagerank(rd.from_arrow(edges), local_edge_limit=0).to_pandas()
+
+
+def test_pagerank_symmetrized_still_works(ray_session):
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import pagerank
+
+    edges = pa.table({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]})
+    out = pagerank(rd.from_arrow(edges)).to_pandas()
+    assert len(out) == 3 and abs(out["rank"].sum() - 1.0) < 1e-4
+
+
+def test_truth_space_tied_rounded_weights_match_sql_range_peers():
+    """r3 verdict #8: two pairs with DISTINCT exact weights that round to
+    the same 6-decimal threshold must collapse to one row carrying the
+    group-end counts — exactly DuckDB's sum() OVER (ORDER BY w DESC)
+    default RANGE frame + rounded-threshold GROUP BY max()."""
+    import duckdb
+
+    from splink_ray.model import truth_space_from_scores
+
+    # w1 != w2 but round(w,6) equal; labels differ so the collapse visibly
+    # merges their counts; plus exact ties and a distinct third threshold
+    df = pd.DataFrame(
+        {
+            "match_weight": [2.0, 0.1234561, 0.1234564, 0.1234564, -1.5],
+            "match_probability": [0.9, 0.52, 0.52, 0.52, 0.2],
+            "clerical_match_score": [1.0, 1.0, 0.0, 1.0, 0.0],
+        }
+    )
+    got = truth_space_from_scores(df, collapse_rounded=6).sort_values(
+        "truth_threshold"
+    ).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("g", df.rename(columns={"match_weight": "w"}))
+    exp = con.execute(
+        "WITH lab AS (SELECT w, CASE WHEN clerical_match_score >= 0.5 "
+        "THEN 1 ELSE 0 END AS y FROM g), "
+        "tot AS (SELECT sum(y) AS p_total, count(*) - sum(y) AS n_total FROM lab), "
+        "cum AS (SELECT round(w, 6) AS t, "
+        "sum(y) OVER (ORDER BY w DESC) AS tp, "
+        "sum(1 - y) OVER (ORDER BY w DESC) AS fp FROM lab), "
+        "coll AS (SELECT t, CAST(max(tp) AS BIGINT) AS tp, "
+        "CAST(max(fp) AS BIGINT) AS fp FROM cum GROUP BY t) "
+        "SELECT t AS truth_threshold, tp, fp, "
+        "CAST((SELECT p_total FROM tot) - tp AS BIGINT) AS fn, "
+        "CAST((SELECT n_total FROM tot) - fp AS BIGINT) AS tn, "
+        "round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0 END, 6) "
+        "AS \"precision\", "
+        "round(CASE WHEN (SELECT p_total FROM tot) > 0 "
+        "THEN tp::DOUBLE / (SELECT p_total FROM tot) ELSE 0 END, 6) AS recall "
+        "FROM coll ORDER BY t"
+    ).df().reset_index(drop=True)
+
+    # the two 0.123456x weights collapsed into ONE row
+    assert len(got) == 3 and len(exp) == 3
+    for c in ("truth_threshold", "tp", "fp", "fn", "tn", "precision", "recall"):
+        assert got[c].dtype == exp[c].dtype, c
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # group-end semantics: the collapsed row carries counts through the
+    # LAST tied pair (tp=3 of 3 positives seen, fp=1), not the first
+    mid = got[got["truth_threshold"].between(0.12, 0.13)].iloc[0]
+    assert (mid["tp"], mid["fp"]) == (3, 1)
