@@ -490,6 +490,19 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return _round(out, {"jaccard": 6})
 
 
+def q_prefix_jaccard_pairs(sf_dir: str):
+    """Dedup: EXACT-recall self near-dup join via the AllPairs prefix
+    filter — same function as the O(n²) SQL cross join by construction
+    (distributed: token exchange + length filter + dedup + exact verify);
+    the deterministic alternative to the LSH-verified path."""
+    from splink_ray.stages.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5,
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     """Dedup MinHash-LSH: near-dup candidates (rows-only check; pytest holds
     the brute-force oracle)."""
@@ -1553,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle dtype-fixed this round (r3 hash-fail -> must re-verify) ---
         "truth_space_customer": q_truth_space_customer,
         "pack_sequences_docs": q_pack_sequences_docs,
+        # --- new round-4 operators ---
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         # --- r3 hash-green family representatives (inside the window) ---
         "blocking_pairs": q_blocking_pairs,
         "exploding_pairs": q_exploding_pairs,
@@ -2210,6 +2225,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "prefix_jaccard_pairs": (
+            "SELECT id_l, id_r, round(j, 6) AS jaccard FROM ("
+            "SELECT l.doc_id AS id_l, r.doc_id AS id_r, "
+            "len(list_intersect(list_distinct(str_split(l.text, ' ')), "
+            "list_distinct(str_split(r.text, ' '))))::DOUBLE / "
+            "len(list_distinct(list_concat(str_split(l.text, ' '), "
+            "str_split(r.text, ' ')))) AS j "
+            "FROM documents l JOIN documents r ON l.doc_id < r.doc_id) "
+            "WHERE j >= 0.5"
         ),
         "ngram_jaccard_pairs": (
             "SELECT id_l, id_r, round(j, 6) AS jaccard FROM ("

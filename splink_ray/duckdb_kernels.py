@@ -95,6 +95,10 @@ class DuckKernel:
                 res = self._eval_raw(
                     expr_sql, l.take(pa.array(first_idx)), r.take(pa.array(first_idx))
                 )
+                if res.null_count == 0 and pa.types.is_floating(res.type):
+                    # numpy gather beats Arrow take for the dense scatter
+                    rn = res.to_numpy(zero_copy_only=False)
+                    return pa.array(rn[inverse])
                 return res.take(pa.array(inverse))
         return self._eval_raw(expr_sql, l, r)
 

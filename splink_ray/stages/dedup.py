@@ -1011,6 +1011,134 @@ def prefix_jaccard_against(
     )
 
 
+def prefix_jaccard_pairs(
+    ds, text_col: str, id_col: str, threshold: float = 0.5, num_buckets=None,
+):
+    """EXACT-recall self-join counterpart of :func:`prefix_jaccard_against`:
+    all (id_l < id_r) pairs with whitespace-token Jaccard >= threshold via
+    the AllPairs prefix filter — the deterministic alternative to
+    :func:`ngram_jaccard_lsh_verified` when probabilistic recall is not
+    acceptable. Same shape: prefix rows exchange on the token, in-group
+    i<j pairs with the ``t*|a| <= |b| <= |a|/t`` length filter, one dedup
+    exchange, exact verify joining texts back."""
+    from .corpus import _token_lists
+    from .exchange import default_parallelism, group_starts, keyed_map
+
+    def _prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table(
+            {
+                "tok": pa.array([], pa.string()),
+                "__jid": ids.slice(0, 0),
+                "__nd": pa.array([], pa.int64()),
+            }
+        )
+        flat, ntok = _token_lists(t[text_col])
+        if len(flat) == 0:
+            return empty
+        seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        dt = (
+            pa.table({"__seg": pa.array(seg), "tok": flat})
+            .group_by(["__seg", "tok"], use_threads=False)
+            .aggregate([])
+            .sort_by([("__seg", "ascending"), ("tok", "ascending")])
+        )
+        segs = dt["__seg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(segs) == 0:
+            return empty
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(segs)) + 1])
+        lens = np.diff(np.append(starts, len(segs)))
+        rank = np.arange(len(segs), dtype=np.int64) - np.repeat(starts, lens)
+        nd = np.repeat(lens, lens)
+        plen = nd - np.ceil(threshold * nd).astype(np.int64) + 1
+        keep = rank < plen
+        return pa.table(
+            {
+                "tok": dt["tok"].filter(pa.array(keep)),
+                "__jid": ids.take(pa.array(segs[keep])),
+                "__nd": pa.array(nd[keep], pa.int64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _prefix_rows, batch_format="pyarrow"
+    )
+
+    def _cand_bucket(t: pa.Table) -> pa.Table:
+        ts = t.sort_by([("tok", "ascending"), ("__jid", "ascending")])
+        ids = ts["__jid"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table(
+            {"id_l": pa.array([], ids.type), "id_r": pa.array([], ids.type)}
+        )
+        if len(ts) == 0:
+            return empty
+        nd = ts["__nd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = ts["tok"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        starts = group_starts(tok)
+        ends = np.append(starts[1:], len(ts))
+        li, ri = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            a, b = np.triu_indices(m, k=1)
+            li.append(a.astype(np.int64) + s)
+            ri.append(b.astype(np.int64) + s)
+        if not li:
+            return empty
+        cl, cr = np.concatenate(li), np.concatenate(ri)
+        na, nb = nd[cl], nd[cr]
+        ok = (nb >= threshold * na) & (na >= threshold * nb)
+        cl, cr = cl[ok], cr[ok]
+        if len(cl) == 0:
+            return empty
+        return (
+            pa.table(
+                {"id_l": ids.take(pa.array(cl)), "id_r": ids.take(pa.array(cr))}
+            )
+            .group_by(["id_l", "id_r"], use_threads=False)
+            .aggregate([])
+        )
+
+    cand = keyed_map(exploded, "tok", _cand_bucket, num_buckets=num_buckets)
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_l", "id_r"], use_threads=False).aggregate([])
+
+    cand = keyed_map(cand, "id_l", _distinct, num_buckets=num_buckets)
+
+    texts = ds.select_columns([id_col, text_col])
+    nparts = max(2, default_parallelism() // 2)
+    j = cand.join(
+        texts.rename_columns({id_col: "__jid_l", text_col: "__text_l"}),
+        join_type="inner", num_partitions=nparts, on=("id_l",), right_on=("__jid_l",),
+    )
+    j = j.join(
+        texts.rename_columns({id_col: "__jid_r", text_col: "__text_r"}),
+        join_type="inner", num_partitions=nparts, on=("id_r",), right_on=("__jid_r",),
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        jac = (
+            _jaccard_tokens_fast(t["__text_l"], t["__text_r"])
+            if len(t)
+            else np.array([])
+        )
+        out = pa.table(
+            {"id_l": t["id_l"], "id_r": t["id_r"],
+             "jaccard": pa.array(round_half_away(jac, 6), pa.float64())}
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return j.map_batches(_verify, batch_format="pyarrow")
+
+
 def source_overlap(ds, text_col: str, source_col: str, num_buckets=None):
     """Cross-source contamination matrix: for every unordered source pair
     (source_l < source_r), the number of DISTINCT text values present in

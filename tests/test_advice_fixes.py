@@ -557,3 +557,43 @@ def test_truth_space_tied_rounded_weights_match_sql_range_peers():
     # LAST tied pair (tp=3 of 3 positives seen, fp=1), not the first
     mid = got[got["truth_threshold"].between(0.12, 0.13)].iloc[0]
     assert (mid["tp"], mid["fp"]) == (3, 1)
+
+
+def test_prefix_jaccard_pairs_matches_bruteforce(ray_session):
+    """Self-join prefix filter: exact recall vs the O(n^2) token Jaccard."""
+    import itertools
+
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import prefix_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(70):
+        n = rng.integers(3, 10)
+        docs.append((i, " ".join(sorted(rng.choice(vocab, size=n, replace=False)))))
+    # inject exact and near duplicates
+    for i in range(70, 90):
+        base = docs[i - 70][1].split()
+        docs.append((i, " ".join(base[: max(len(base) - 1, 1)])))
+
+    t = 0.55
+    expected = {}
+    for (ai, at), (bi, bt) in itertools.combinations(docs, 2):
+        a, b = set(at.split()), set(bt.split())
+        j = len(a & b) / len(a | b)
+        if j >= t:
+            expected[(ai, bi)] = j
+
+    out = prefix_jaccard_pairs(
+        rd.from_arrow(
+            pa.table({"doc_id": [d[0] for d in docs],
+                      "text": [d[1] for d in docs]})
+        ).repartition(5),
+        "text", "doc_id", threshold=t,
+    ).to_pandas()
+    got = dict(zip(zip(out["id_l"], out["id_r"]), out["jaccard"]))
+    assert set(got) == set(expected) and len(expected) >= 20
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6, k
