@@ -48,6 +48,9 @@ class EvalContext:
         # level; caching halves string-kernel cost vs splink's CASE WHEN,
         # which recomputes. Cleared by the scorer after each batch.
         self.kernel_cache: dict = {}
+        # per-(fn, col_expression) minimum ladder threshold — set by
+        # make_eval_context; native kernels may early-exit below it
+        self.threshold_floors: dict = {}
 
     def clear_cache(self):
         self.kernel_cache.clear()
@@ -82,6 +85,34 @@ def _to_np_bool(arr) -> np.ndarray:
 
 def _valid_pair_mask(l: pa.Array, r: pa.Array) -> np.ndarray:
     return _to_np_bool(pc.and_(pc.is_valid(l), pc.is_valid(r)))
+
+
+def _plain(arr: pa.Array) -> pa.Array:
+    """Decode dictionary-encoded columns for levels that compare across
+    different dictionaries (or against literals)."""
+    if pa.types.is_dictionary(arr.type):
+        return arr.cast(arr.type.value_type)
+    return arr
+
+
+def _same_dictionary(a: pa.Array, b: pa.Array) -> bool:
+    """True when two DictionaryArrays share the same dictionary memory
+    (same source column, e.g. the _l/_r doubles of one encoded record
+    column) — their indices are then directly comparable."""
+    da, db = a.dictionary, b.dictionary
+    if da is db:
+        return True
+    if len(da) != len(db):
+        return False
+    ba, bb = da.buffers(), db.buffers()
+    if len(ba) != len(bb):
+        return False
+    for x, y in zip(ba, bb):
+        if (x is None) != (y is None):
+            return False
+        if x is not None and (x.address != y.address or x.size != y.size):
+            return False
+    return da.offset == db.offset
 
 
 def _strings(arr: pa.Array, mask: np.ndarray) -> list:
@@ -160,6 +191,10 @@ class NullLevel(ComparisonLevel):
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
         nulls = pc.or_(pc.is_null(l), pc.is_null(r))
+        if self.valid_string_pattern and pa.types.is_dictionary(l.type):
+            l = l.cast(l.type.value_type)
+        if self.valid_string_pattern and pa.types.is_dictionary(r.type):
+            r = r.cast(r.type.value_type)
         if self.valid_string_pattern:
             ok_l = pc.match_substring_regex(l, self.valid_string_pattern)
             ok_r = pc.match_substring_regex(r, self.valid_string_pattern)
@@ -192,6 +227,13 @@ class ExactMatchLevel(ComparisonLevel):
 
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
+        if pa.types.is_dictionary(l.type) and pa.types.is_dictionary(r.type):
+            if _same_dictionary(l, r):
+                # encoded values are unique, so value equality == index
+                # equality (null indices propagate through pc.equal)
+                return _to_np_bool(pc.equal(l.indices, r.indices))
+            l = l.cast(l.type.value_type)
+            r = r.cast(r.type.value_type)
         return _to_np_bool(pc.equal(l, r))
 
     def sql(self):
@@ -213,6 +255,7 @@ class LiteralMatchLevel(ComparisonLevel):
 
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
+        l, r = _plain(l), _plain(r)
         eq_l = _to_np_bool(pc.equal(l, self.literal_value))
         eq_r = _to_np_bool(pc.equal(r, self.literal_value))
         if self.side == "left":
@@ -255,13 +298,13 @@ class ColumnsReversedLevel(ComparisonLevel):
         self.col_expression_2 = ensure_expression(self.col_expression_2)
 
     def _evaluate(self, pairs, ctx):
-        a_l = _side(self.col_expression_1, "l").evaluate(pairs)
-        b_r = _side(self.col_expression_2, "r").evaluate(pairs)
+        a_l = _plain(_side(self.col_expression_1, "l").evaluate(pairs))
+        b_r = _plain(_side(self.col_expression_2, "r").evaluate(pairs))
         fwd = _to_np_bool(pc.equal(a_l, b_r))
         if not self.symmetrical:
             return fwd
-        a_r = _side(self.col_expression_1, "r").evaluate(pairs)
-        b_l = _side(self.col_expression_2, "l").evaluate(pairs)
+        a_r = _plain(_side(self.col_expression_1, "r").evaluate(pairs))
+        b_l = _plain(_side(self.col_expression_2, "l").evaluate(pairs))
         return fwd & _to_np_bool(pc.equal(b_l, a_r))
 
     def sql(self):
@@ -310,7 +353,12 @@ class _StringDistanceLevel(ComparisonLevel):
             if not valid.any():
                 v = np.zeros(len(pairs), np.float64)
             elif ctx.duck is not None:
-                vals = ctx.duck.eval_expr(self._duck_expr(), l, r)
+                cutoff = None
+                if self._higher_is_better and self._fn in ("jaro", "jaro_winkler"):
+                    cutoff = getattr(ctx, "threshold_floors", {}).get(
+                        (self._fn, self.col_expression)
+                    )
+                vals = ctx.duck.eval_expr(self._duck_expr(), l, r, cutoff)
                 fill = -1e18 if self._higher_is_better else 1e18
                 v = pc.fill_null(vals, fill).to_numpy(zero_copy_only=False).astype(np.float64)
             else:

@@ -38,7 +38,9 @@ class DuckKernel:
         except Exception:
             pass
 
-    def eval_expr(self, expr_sql: str, l: pa.Array, r: pa.Array) -> np.ndarray:
+    def eval_expr(
+        self, expr_sql: str, l: pa.Array, r: pa.Array, cutoff: float | None = None
+    ) -> np.ndarray:
         """Evaluate ``expr_sql`` (over columns named l, r) per row.
 
         Returns a numpy array; null inputs yield the function's SQL-null
@@ -48,34 +50,51 @@ class DuckKernel:
         near-duplicate-heavy blocks repeat the same string pair across many
         record pairs (every copy-combination of the same two entities), so
         this cuts the C++ kernel work by the mean copy-product while staying
-        byte-exact."""
+        byte-exact.
+
+        ``cutoff`` (threshold ladders only): values >= cutoff stay exact;
+        rows provably below it may return 0.0 — legal only when every
+        consumer compares the result against thresholds >= cutoff. Ignored
+        by the DuckDB path (which is always exact, a superset of the
+        contract); honored by the native jaro kernels' early exit."""
         n = len(l)
 
         def _group_key(arr):
-            """Equality-grouping key for dedup: strings group as-is; string
-            lists group on an order-sensitive serialization (conservative —
+            """(codes int64 | None, dictionary | None, arr) for dedup:
+            strings group on their values; ALREADY-dictionary-encoded string
+            columns (the fused pairgen path encodes once per bucket) reuse
+            their indices directly — no per-chunk re-hash; string lists
+            group on an order-sensitive serialization (conservative —
             identical key ⟹ identical value, so results stay byte-exact;
             a null key only arises from a null value, and every kernel is
             null-in → null-out, so grouping nulls together is sound)."""
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-                return arr, arr
-            if pa.types.is_list(arr.type) and (
-                pa.types.is_string(arr.type.value_type)
-                or pa.types.is_large_string(arr.type.value_type)
+            t = arr.type
+            if pa.types.is_dictionary(t) and (
+                pa.types.is_string(t.value_type) or pa.types.is_large_string(t.value_type)
             ):
-                return pa.compute.binary_join(arr, "\x1f"), arr
-            return None, arr
+                codes = arr.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+                return codes.astype(np.int64), arr.dictionary, arr
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                enc = pa.compute.dictionary_encode(arr)
+                codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+                return codes.astype(np.int64), enc.dictionary, arr
+            if pa.types.is_list(t) and (
+                pa.types.is_string(t.value_type)
+                or pa.types.is_large_string(t.value_type)
+            ):
+                enc = pa.compute.dictionary_encode(
+                    pa.compute.binary_join(arr, "\x1f")
+                )
+                codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+                return codes.astype(np.int64), None, arr
+            return None, None, arr
 
-        kl, l = _group_key(l)
-        kr, r = _group_key(r)
-        if n >= 2048 and kl is not None and kr is not None:
-            lc = pa.compute.dictionary_encode(kl)
-            rc = pa.compute.dictionary_encode(kr)
-            li = lc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-            ri = rc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-            width = np.int64(len(rc.dictionary) + 2)
+        li, ldict, l = _group_key(l)
+        ri, rdict, r = _group_key(r)
+        if n >= 2048 and li is not None and ri is not None:
+            width = np.int64(int(ri.max(initial=-1)) + 3)
             comb = (li + 1) * width + (ri + 1)
             # hash-based factorize (no sort) + reverse-scatter for first
             # occurrence — ~5× cheaper than np.unique here. ALWAYS measure
@@ -92,17 +111,60 @@ class DuckKernel:
             if k <= 0.9 * n:
                 first_idx = np.empty(k, np.int64)
                 first_idx[inverse[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
-                res = self._eval_raw(
-                    expr_sql, l.take(pa.array(first_idx)), r.take(pa.array(first_idx))
-                )
+                # order the unique pairs by LEFT code so consecutive rows
+                # share their left string — the native jaro kernel reuses
+                # its pattern-match table across them (dense blocks repeat
+                # each left value against hundreds of rights)
+                order = np.argsort(li[first_idx], kind="stable")
+                first_idx = first_idx[order]
+                rank = np.empty(k, np.int64)
+                rank[order] = np.arange(k, dtype=np.int64)
+                inverse = rank[inverse]
+                res = None
+                winkler = self._NATIVE.get(expr_sql)
+                if winkler is not None and ldict is not None and rdict is not None:
+                    # dictionary-indexed native path: the kernel reads the
+                    # (tiny) dictionaries; no unique-row string gathers
+                    from .native import jaro_arrow_idx
+
+                    res = jaro_arrow_idx(
+                        ldict, li[first_idx], rdict, ri[first_idx],
+                        winkler, cutoff,
+                    )
+                if res is None:
+                    res = self._eval_raw(
+                        expr_sql,
+                        l.take(pa.array(first_idx)),
+                        r.take(pa.array(first_idx)),
+                        cutoff,
+                    )
                 if res.null_count == 0 and pa.types.is_floating(res.type):
                     # numpy gather beats Arrow take for the dense scatter
                     rn = res.to_numpy(zero_copy_only=False)
                     return pa.array(rn[inverse])
                 return res.take(pa.array(inverse))
-        return self._eval_raw(expr_sql, l, r)
+        return self._eval_raw(expr_sql, l, r, cutoff)
 
-    def _eval_raw(self, expr_sql: str, l: pa.Array, r: pa.Array):
+    # expressions with a native (C, DuckDB-bit-parity) fast path
+    _NATIVE = {
+        "jaro_winkler_similarity(l, r)": True,  # -> winkler flag
+        "jaro_similarity(l, r)": False,
+    }
+
+    def _eval_raw(
+        self, expr_sql: str, l: pa.Array, r: pa.Array, cutoff: float | None = None
+    ):
+        if pa.types.is_dictionary(l.type):
+            l = l.cast(l.type.value_type)
+        if pa.types.is_dictionary(r.type):
+            r = r.cast(r.type.value_type)
+        winkler = self._NATIVE.get(expr_sql)
+        if winkler is not None:
+            from .native import jaro_arrow
+
+            out = jaro_arrow(l, r, winkler, cutoff)
+            if out is not None:
+                return out
         tbl = pa.table({"l": l, "r": r})
         self.con.register("_pairs", tbl)
         out = self.con.execute(

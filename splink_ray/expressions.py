@@ -76,6 +76,11 @@ class ColumnExpression:
             # chunks) are unwrapped zero-copy; combine_chunks would COPY the
             # strings and dominated the scoring profile
             arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
+        if self.ops and pa.types.is_dictionary(arr.type):
+            # transform chains operate on values: decode once (dict-encoded
+            # columns only appear on the fused scoring path; untransformed
+            # columns pass through encoded for the index-aware kernels)
+            arr = arr.cast(arr.type.value_type)
         for name, args in self.ops:
             if name == "lower":
                 arr = pc.utf8_lower(arr)

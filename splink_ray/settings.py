@@ -217,5 +217,39 @@ class Settings:
 SettingsCreator = Settings
 
 
+def _threshold_floors(settings: Settings) -> dict:
+    """Per (kernel fn, column expression): the MINIMUM threshold any level
+    in ANY comparison applies to that similarity kernel.
+
+    Values below this floor can never flip a gamma (every consumer is a
+    ``v >= threshold`` test with threshold >= floor, including inside
+    And/Or/Not compositions), so the native jaro kernels may early-exit
+    below it and return 0.0 instead of the exact value. The floor spans all
+    comparisons because the per-batch kernel cache is shared across them."""
+    from .comparison_level_library import _StringDistanceLevel
+
+    floors: dict = {}
+
+    def walk(lv):
+        if isinstance(lv, _StringDistanceLevel) and lv._higher_is_better and (
+            lv._fn in ("jaro", "jaro_winkler")
+        ):
+            key = (lv._fn, lv.col_expression)
+            t = float(lv._threshold)
+            floors[key] = min(floors.get(key, t), t)
+        for sub in getattr(lv, "sub_levels", ()) or ():
+            walk(sub)
+        sub1 = getattr(lv, "sub_level", None)
+        if sub1 is not None:
+            walk(sub1)
+
+    for comp in settings.comparisons:
+        for lv in comp.comparison_levels:
+            walk(lv)
+    return floors
+
+
 def make_eval_context(settings: Settings, tf_tables: dict | None = None) -> EvalContext:
-    return EvalContext(use_duckdb=settings.use_duckdb_kernels, tf_tables=tf_tables)
+    ctx = EvalContext(use_duckdb=settings.use_duckdb_kernels, tf_tables=tf_tables)
+    ctx.threshold_floors = _threshold_floors(settings)
+    return ctx

@@ -722,6 +722,23 @@ def _pairgen_score_stream(
         ri = np.concatenate(by_rule_ri[r])
         take_cols = [uid_col] + out_cols + earlier_bks
         sel = t.select(take_cols)
+        # dictionary-encode string comparison columns ONCE per bucket: the
+        # per-chunk pair takes then gather int32 indices instead of copying
+        # the (long) strings, and the similarity kernels consume the codes
+        # directly (duckdb_kernels dedup + native jaro_arrow_idx). The
+        # encoded columns never surface: fused scoring projects them away.
+        enc_ok = {c for c in out_cols if c != source_col}
+        cols = []
+        for c in sel.column_names:
+            col = sel[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if c in enc_ok and (
+                pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            ):
+                col = pc.dictionary_encode(col)
+            cols.append(col)
+        sel = pa.table(dict(zip(sel.column_names, cols)))
         for lo in range(0, len(li), chunk_pairs):
             cl = pa.array(li[lo : lo + chunk_pairs])
             cr = pa.array(ri[lo : lo + chunk_pairs])

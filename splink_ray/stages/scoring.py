@@ -77,6 +77,12 @@ def score_pair_batch(
     out = pairs
     if keep_cols is not None:
         out = out.select([c for c in keep_cols if c in out.column_names])
+    for i, name in enumerate(out.column_names):
+        col = out[name]
+        if pa.types.is_dictionary(col.type):
+            # fused pairgen dict-encodes comparison columns; anything the
+            # caller retains goes back out as plain values
+            out = out.set_column(i, name, col.cast(col.type.value_type))
     for name, g in gammas.items():
         # int8: gamma ∈ [−1, #levels) — 4× narrower than int32 through the
         # object store and the scored parquet (measured ~15 B/pair saved)
