@@ -29,6 +29,8 @@ pairs. Skew handling (north_rule):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -854,9 +856,18 @@ def generate_pairs(
         needed = [uid] + (score_cols if score_inline else out_cols) + [
             bk_col(j) for j in range(len(rules))
         ]
+        # batch_size here also BUNDLES tiny input blocks (a records table
+        # re-read from a many-partition sink arrives as sub-1k-row blocks;
+        # 314 blocks × 314 sort partitions = ~100k shuffle objects whose
+        # scheduling dwarfed the exchange's ~10 core-s of real work —
+        # measured 36.3 s → 24.0 s on the 156M-pair bench at 4096). It
+        # never SPLITS big blocks into extra tasks, so large-scale inputs
+        # with healthy block sizes pass through unchanged.
+        proj_batch = int(os.environ.get("SPLINK_RAY_PROJ_BATCH", "4096")) or None
         plain_keys = plain_keys.map_batches(
             lambda t, cols=tuple(needed): t.select([c for c in cols if c in t.column_names]),
             batch_format="pyarrow",
+            batch_size=proj_batch,
         )
     plain_metrics: dict[int, dict] = {}
     plain_hot: dict[int, dict] = {}
