@@ -192,6 +192,20 @@ class DuckKernel:
         self.con.unregister("_keys")
         return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
 
+    def md5_hex(self, v) -> pa.Array:
+        """Vectorized ``md5(v)`` hexdigest (lowercase, identical to
+        ``hashlib.md5(...).hexdigest()``) — C++ throughput for the
+        canonicalize concat-hash instead of a per-group Python loop, and
+        bit-parity with the ``md5(string_agg(...))`` oracle by construction.
+        Null in → null out."""
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        tbl = pa.table({"v": v})
+        self.con.register("_keys", tbl)
+        out = self.con.execute("SELECT md5(v) AS h FROM _keys").fetch_arrow_table()
+        self.con.unregister("_keys")
+        return out["h"].combine_chunks()
+
     def levenshtein(self, l: pa.Array, r: pa.Array) -> pa.Array:
         return self.eval_expr("levenshtein(l, r)", l, r)
 

@@ -17,7 +17,6 @@ FIXTURES.md F2.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 
@@ -98,17 +97,21 @@ def canonicalize_bucket(tbl: pa.Table) -> pa.Table:
     offsets = pa.array(np.append(starts, n).astype(np.int32))
     turn_texts = pa.ListArray.from_arrays(offsets, text_arr)
 
-    # concat hash + role_seq: per-group python (hashing is inherently
-    # per-value); operate on pre-fetched lists to avoid per-row Arrow calls.
-    # md5 (not blake2b) so the hash is reproducible in a DuckDB oracle:
-    # md5(string_agg(text, chr(31) ORDER BY turn_idx))
-    texts = text_arr.to_pylist()
-    roles = role_arr.to_pylist()
-    thash = np.empty(n_groups, dtype=object)
-    rseq = np.empty(n_groups, dtype=object)
-    for g, (s, e) in enumerate(zip(starts, ends)):
-        thash[g] = hashlib.md5(_SEP.join(texts[s:e]).encode()).hexdigest()
-        rseq[g] = "".join((r or "?")[0] for r in roles[s:e])
+    # concat hash + role_seq, fully vectorized: one C++ binary_join over
+    # the zero-copy list view, then DuckDB's md5() (hexdigest-identical to
+    # hashlib.md5 and to the oracle's md5(string_agg(text, chr(31) ORDER BY
+    # turn_idx)) by construction). Replaced a per-group Python join+hash
+    # loop over to_pylist()-boxed strings — the canonicalize profile was
+    # dominated by the boxing, not the hashing.
+    from ..duckdb_kernels import get_kernel
+
+    joined = pc.binary_join(turn_texts, _SEP)
+    thash = get_kernel().md5_hex(joined)
+    # role_seq: first codepoint per role ("?" for null/empty), joined per
+    # group through the same list-offset view
+    r1 = pc.utf8_slice_codeunits(pc.fill_null(role_arr, "?"), 0, 1)
+    r1 = pc.if_else(pc.equal(r1, ""), pa.scalar("?", pa.string()), r1)
+    rseq = pc.binary_join(pa.ListArray.from_arrays(offsets, r1), "")
 
     # tool_set: only visit groups that contain any tool
     tool_arr = pc.fill_null(t["tool"].combine_chunks(), "")
@@ -129,8 +132,8 @@ def canonicalize_bucket(tbl: pa.Table) -> pa.Table:
             "first_user_text": first_user,
             "first_assistant_text": first_asst,
             "turn_texts": turn_texts,
-            "text_concat_hash": pa.array(thash, pa.string()),
-            "role_seq": pa.array(rseq, pa.string()),
+            "text_concat_hash": thash,
+            "role_seq": rseq,
             "tool_set": pa.array(tsets, pa.list_(pa.string())),
             "ts_min": pa.array(ts_min64, pa.timestamp("us")),
             "ts_day": pa.array(
