@@ -95,6 +95,27 @@ def _plain(arr: pa.Array) -> pa.Array:
     return arr
 
 
+def _dict_index_safe(d: pa.Array) -> bool:
+    """Index equality implies value equality only when the dictionary's
+    values are unique and non-null. pairgen-produced ``pc.dictionary_encode``
+    columns always satisfy this; a caller-supplied DictionaryArray with
+    duplicate or null dictionary entries (legal Arrow) would otherwise
+    report equal values as non-matching (ADVICE r4). The check is O(dict),
+    tiny next to the per-pair work it gates."""
+    return d.null_count == 0 and len(d) == len(pc.unique(d))
+
+
+def _plain_table(t: pa.Table) -> pa.Table:
+    """Decode every dictionary-encoded column — user-extension callables
+    (CustomLevel.predicate, DistanceFunctionLevel.distance_function) are
+    written against plain string/value arrays and must not see the fused
+    pairgen path's dictionary encoding (ADVICE r4)."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, t.column(i).cast(f.type.value_type))
+    return t
+
+
 def _same_dictionary(a: pa.Array, b: pa.Array) -> bool:
     """True when two DictionaryArrays share the same dictionary memory
     (same source column, e.g. the _l/_r doubles of one encoded record
@@ -228,9 +249,9 @@ class ExactMatchLevel(ComparisonLevel):
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
         if pa.types.is_dictionary(l.type) and pa.types.is_dictionary(r.type):
-            if _same_dictionary(l, r):
-                # encoded values are unique, so value equality == index
-                # equality (null indices propagate through pc.equal)
+            if _same_dictionary(l, r) and _dict_index_safe(l.dictionary):
+                # dictionary values are unique & non-null, so value equality
+                # == index equality (null indices propagate through pc.equal)
                 return _to_np_bool(pc.equal(l.indices, r.indices))
             l = l.cast(l.type.value_type)
             r = r.cast(r.type.value_type)
@@ -503,7 +524,8 @@ class DistanceFunctionLevel(ComparisonLevel):
     def _evaluate(self, pairs, ctx):
         l, r = _pair_arrays(self.col_expression, pairs)
         valid = _valid_pair_mask(l, r)
-        v = np.asarray(self.distance_function(l, r), np.float64)
+        # user callables see plain arrays, never pairgen's dictionary encoding
+        v = np.asarray(self.distance_function(_plain(l), _plain(r)), np.float64)
         ok = (
             (v >= self.distance_threshold)
             if self.higher_is_more_similar
@@ -749,7 +771,8 @@ class CustomLevel(ComparisonLevel):
     kind: ClassVar[str] = "custom"
 
     def _evaluate(self, pairs, ctx):
-        return np.asarray(self.predicate(pairs), bool)
+        # user callables see plain columns, never pairgen's dictionary encoding
+        return np.asarray(self.predicate(_plain_table(pairs)), bool)
 
     def sql(self):
         if not self.sql_condition:

@@ -8,7 +8,11 @@ per-batch register/scan/materialize overhead on the flagship scoring hot
 path (~4x measured on the bench's 118-byte texts).
 
 The shared object is compiled lazily with the system C compiler into a
-per-user cache under /tmp and memoized per process. Anything failing —
+0700 per-user cache directory (``~/.cache/splink_ray`` or
+``$XDG_CACHE_HOME``) and memoized per process — never a world-writable
+path, and never loaded unless the file is owned by the current uid with no
+group/other write bits (a pre-planted .so in a shared tmpdir would
+otherwise execute as the victim, CWE-379). Anything failing —
 no compiler, compile error, oversized strings (> 2048 bytes, the stack-table
 cap), large_string chunks — silently falls back to the DuckDB kernel, which
 remains the semantics reference.
@@ -30,6 +34,36 @@ _lib = None
 _lib_failed = False
 
 
+def _cache_dir() -> str | None:
+    """0700 user-owned cache dir; None if one can't be secured."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "splink_ray")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            os.chmod(d, 0o700)
+            st = os.stat(d)
+            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                return None
+        return d
+    except OSError:
+        return None
+
+
+def _safe_to_load(path: str) -> bool:
+    """Only CDLL a cached .so the current user owns with no group/other
+    write bits (ADVICE r4: a pre-planted file in a shared dir would run
+    arbitrary code as this process)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
 def _compile() -> str | None:
     try:
         with open(_SRC, "rb") as f:
@@ -37,11 +71,12 @@ def _compile() -> str | None:
     except OSError:
         return None
     tag = hashlib.md5(src + b"|v2-fpcontract-off").hexdigest()[:16]
-    so_path = os.path.join(
-        tempfile.gettempdir(), f"splink_ray_jaro_{tag}_{os.getuid()}.so"
-    )
+    cache = _cache_dir()
+    if cache is None:  # no securable cache dir: compile into a fresh mkdtemp
+        cache = tempfile.mkdtemp(prefix="splink_ray_native_")
+    so_path = os.path.join(cache, f"splink_ray_jaro_{tag}.so")
     if os.path.exists(so_path):
-        return so_path
+        return so_path if _safe_to_load(so_path) else None
     cc = os.environ.get("CC", "cc")
     tmp = so_path + f".build-{os.getpid()}"
     # -march=native enables BMI (blsi/tzcnt) on this host; fall back to a
@@ -60,8 +95,9 @@ def _compile() -> str | None:
                 capture_output=True,
                 timeout=60,
             )
+            os.chmod(tmp, 0o500)
             os.replace(tmp, so_path)  # atomic: concurrent workers race benignly
-            return so_path
+            return so_path if _safe_to_load(so_path) else None
         except Exception:
             try:
                 os.unlink(tmp)
@@ -79,7 +115,7 @@ def get_lib():
         _lib_failed = True
         return None
     so = _compile()
-    if so is None:
+    if so is None or not _safe_to_load(so):
         _lib_failed = True
         return None
     try:

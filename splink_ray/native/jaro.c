@@ -163,6 +163,11 @@ static double jw_one(pm_table *pm, const uint8_t *P, int64_t plen,
 static int64_t min_m_for(double jaro_min, int64_t plen, int64_t tlen) {
     if (jaro_min <= 0.0 || plen == 0 || tlen == 0)
         return 0;
+    /* strictly conservative: shave ~1e-9 so upward rounding in the
+       cutoff -> jaro_min derivation can never early-exit a row whose true
+       jaro EQUALS the cutoff (the documented ">= cutoff is exact"
+       contract); cost is a handful of never-exited rows. */
+    jaro_min *= 1.0 - 1e-9;
     double num = 3.0 * jaro_min - 1.0;
     if (num <= 0.0)
         return 0;

@@ -722,7 +722,10 @@ def _pairgen_score_stream(
         earlier_bks = earlier_by_rule[r]
         li = np.concatenate(by_rule_li[r])
         ri = np.concatenate(by_rule_ri[r])
-        take_cols = [uid_col] + out_cols + earlier_bks
+        # dict.fromkeys: uid_col/out_cols/earlier_bks may overlap, and the
+        # pa.table(dict(...)) rebuild below would silently collapse
+        # duplicate names (ADVICE r4) — make uniqueness explicit
+        take_cols = list(dict.fromkeys([uid_col] + out_cols + earlier_bks))
         sel = t.select(take_cols)
         # dictionary-encode string comparison columns ONCE per bucket: the
         # per-chunk pair takes then gather int32 indices instead of copying

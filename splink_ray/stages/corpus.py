@@ -561,11 +561,22 @@ def _top_distinctive_terms_join(
             )
         return pa.table({"__term": t["term"], "df": t["df"].cast(pa.int64())})
 
-    nparts = max(2, default_parallelism() // 2)
-    joined = ds.map_batches(_explode_tf, batch_format="pyarrow").join(
+    # hardened sort-exchange join, NOT Dataset.join: counts_ds is a groupby
+    # aggregate whose empty partitions emit schema-less blocks that break
+    # the hash-shuffle join, and the guard in _df_side above cannot repair
+    # them — Ray routes empty blocks around map_batches UDFs entirely
+    # (stages/joins.py::shuffle_join hazard writeup)
+    from .joins import _as_schema, shuffle_join
+
+    id_type = _as_schema(ds).field(id_col).type
+    joined = shuffle_join(
+        ds.map_batches(_explode_tf, batch_format="pyarrow"),
         counts_ds.map_batches(_df_side, batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts,
-        on=("term",), right_on=("__term",),
+        on="term", right_on="__term", how="inner",
+        left_schema=pa.schema(
+            [(id_col, id_type), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("__term", pa.string()), ("df", pa.int64())]),
     )
 
     def _rank_bucket(t: pa.Table) -> pa.Table:
@@ -973,10 +984,18 @@ def unigram_logprob(
             {"__g": t["g"], "__lp": pa.array(np.log(n / T), pa.float64())}
         )
 
-    nparts = max(2, default_parallelism() // 2)
-    j = ds.map_batches(_explode, batch_format="pyarrow").join(
+    # hardened sort-exchange join, NOT Dataset.join (schema-less empty agg
+    # blocks break the hash-shuffle join; the _lp guard can't repair them —
+    # stages/joins.py::shuffle_join)
+    from .joins import _as_schema, shuffle_join
+
+    id_type = _as_schema(ds).field(id_col).type
+    j = shuffle_join(
+        ds.map_batches(_explode, batch_format="pyarrow"),
         counts.map_batches(_lp, batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts, on=("g",), right_on=("__g",),
+        on="g", right_on="__g", how="inner",
+        left_schema=pa.schema([(id_col, id_type), ("g", pa.string())]),
+        right_schema=pa.schema([("__g", pa.string()), ("__lp", pa.float64())]),
     )
     agg = j.groupby(id_col).aggregate(
         Sum("__lp", alias_name="__s"), Count(alias_name="n_tokens")

@@ -498,6 +498,44 @@ def _ngram_jaccard_grouped(ds, text_col, id_col, threshold, key, num_buckets):
     return keyed_map(ds, key, _bucket, num_buckets=num_buckets)
 
 
+def _attach_pair_texts(cand, left_ds, right_ds, id_col, text_col,
+                       ric=None, rtc=None, num_buckets=None):
+    """(id_l, id_r) candidate pairs + (__text_l, __text_r) columns via two
+    hardened sort-exchange joins. Deliberately :func:`~.joins.shuffle_join`
+    and NOT ``Dataset.join``: ``cand`` descends from ``map_groups`` buckets
+    whose empty partitions emit schema-less blocks that kill Ray 2.49's
+    hash-shuffle join at high parallelism (the CORRECTNESS_r04
+    ``dedup_against`` failure mode — hazard writeup in stages/joins.py)."""
+    from .joins import _as_schema, shuffle_join
+
+    ric = ric or id_col
+    rtc = rtc or text_col
+    ls = _as_schema(left_ds)
+    rs = _as_schema(right_ds) if right_ds is not left_ds else ls
+    idt_l, txt_l = ls.field(id_col).type, ls.field(text_col).type
+    idt_r, txt_r = rs.field(ric).type, rs.field(rtc).type
+    ltexts = left_ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["__jid_l", "__text_l"]), batch_format="pyarrow"
+    )
+    rtexts = right_ds.select_columns([ric, rtc]).map_batches(
+        lambda t: t.rename_columns(["__jid_r", "__text_r"]), batch_format="pyarrow"
+    )
+    j = shuffle_join(
+        cand, ltexts, on="id_l", right_on="__jid_l", how="inner",
+        left_schema=pa.schema([("id_l", idt_l), ("id_r", idt_r)]),
+        right_schema=pa.schema([("__jid_l", idt_l), ("__text_l", txt_l)]),
+        num_buckets=num_buckets,
+    )
+    return shuffle_join(
+        j, rtexts, on="id_r", right_on="__jid_r", how="inner",
+        left_schema=pa.schema(
+            [("id_l", idt_l), ("id_r", idt_r), ("__text_l", txt_l)]
+        ),
+        right_schema=pa.schema([("__jid_r", idt_r), ("__text_r", txt_r)]),
+        num_buckets=num_buckets,
+    )
+
+
 def ngram_jaccard_lsh_verified(
     ds, text_col: str, id_col: str, threshold: float = 0.5,
     num_perm: int = 128, bands: int = 32, est_margin: float = 0.1,
@@ -507,23 +545,12 @@ def ngram_jaccard_lsh_verified(
     (signature-estimated token Jaccard ≥ threshold − margin), then the EXACT
     whitespace-token Jaccard is verified by joining the texts back. Output
     pairs are exact-Jaccard-true; recall is approximate (LSH)."""
-    from .exchange import default_parallelism
-
     cand = minhash_lsh_pairs(
         ds, text_col, id_col, num_perm=num_perm, bands=bands,
         shingle_k=1, words=True,
         threshold=max(threshold - est_margin, 0.0), num_buckets=num_buckets,
     ).select_columns(["id_l", "id_r"])
-    texts = ds.select_columns([id_col, text_col])
-    nparts = max(2, default_parallelism() // 2)
-    j = cand.join(
-        texts.rename_columns({id_col: "__jid_l", text_col: "__text_l"}),
-        join_type="inner", num_partitions=nparts, on=("id_l",), right_on=("__jid_l",),
-    )
-    j = j.join(
-        texts.rename_columns({id_col: "__jid_r", text_col: "__text_r"}),
-        join_type="inner", num_partitions=nparts, on=("id_r",), right_on=("__jid_r",),
-    )
+    j = _attach_pair_texts(cand, ds, ds, id_col, text_col, num_buckets=num_buckets)
 
     def _verify(t: pa.Table) -> pa.Table:
         jac = (
@@ -658,35 +685,42 @@ def dedup_against(
     against the existing training set" shape. Returns the surviving rows of
     ``ds`` with all original columns.
 
-    ``method="join"`` (default, the 100-TB path): distinct reference hashes
-    meet the corpus in a hash-partitioned ``left_outer`` join and survivors
-    are the null-marker rows — an anti-join; both sides stream, nothing
-    materializes on the driver. ``method="broadcast"``: the distinct
-    reference hash set ships once via ``ray.put`` and the gate is a
-    vectorized ``is_in`` — right when the reference fits in memory
-    (a benchmark suite, a blocklist), one exchange cheaper.
+    ``method="join"`` (default, the 100-TB path): corpus rows and reference
+    content hashes co-locate via ONE hash-bucket exchange on the md5 and the
+    anti-join is a vectorized in-bucket ``is_in`` — both sides stream,
+    nothing materializes on the driver, and no global distinct pass is
+    needed (duplicate reference hashes collapse per bucket). This
+    deliberately does NOT use ``Dataset.join``: Ray 2.49's hash-shuffle join
+    dies (``ArrowInvalid`` in ``HashShuffleAggregator.finalize``) when an
+    entire join partition consists of the schema-less empty blocks a
+    groupby emits at high parallelism — the CORRECTNESS_r04 driver failure;
+    see :func:`~.joins.shuffle_join` for the hazard writeup. The sort-bucket
+    exchange tolerates those blocks by construction.
+    ``method="broadcast"``: the distinct reference hash set ships once via
+    ``ray.put`` and the gate is a vectorized ``is_in`` — right when the
+    reference fits in memory (a benchmark suite, a blocklist), one exchange
+    cheaper.
 
     Oracle: ``WHERE NOT EXISTS (… md5(text) = md5(ref))``
     (``__ray_entry__._dedup_against_sql``)."""
     from ..functions.hashing import content_hash
     from .exchange import broadcast as bcast
-    from .exchange import default_parallelism
+    from .exchange import keyed_map
 
     rcol = ref_text_col or text_col
 
     def _hash(t: pa.Table) -> pa.Table:
         return t.append_column("__h", pa.array(content_hash(t[text_col]), pa.string()))
 
-    def _ref_hashes(t: pa.Table) -> pa.Table:
-        u = pc.unique(pa.array(content_hash(t[rcol]), pa.string()))
-        # Ray's join drops the right key column from the output, so carry an
-        # explicit hit marker for the anti-join's null test
-        return pa.table({"__rh": u, "__hit": pa.array(np.ones(len(u), np.int8))})
-
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
-    ref_h = ref_ds.map_batches(_ref_hashes, batch_format="pyarrow")
 
     if method == "broadcast":
+
+        def _ref_hashes(t: pa.Table) -> pa.Table:
+            u = pc.unique(pa.array(content_hash(t[rcol]), pa.string()))
+            return pa.table({"__rh": u})
+
+        ref_h = ref_ds.map_batches(_ref_hashes, batch_format="pyarrow")
         vals = pa.array(
             sorted({r["__rh"] for r in ref_h.take_all()}), pa.string()
         )
@@ -703,21 +737,52 @@ def dedup_against(
 
     if method != "join":
         raise ValueError(f"unknown method {method!r}")
-    # distinct the reference hashes globally so the join side is minimal
-    ref_h = ref_h.groupby("__rh").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
-    nparts = num_partitions or max(2, default_parallelism() // 2)
-    joined = hashed.join(
-        ref_h, join_type="left_outer", num_partitions=nparts,
-        on=("__h",), right_on=("__rh",),
-    )
+    from .joins import _as_schema
 
-    def _survivors(t: pa.Table) -> pa.Table:
-        keep = pc.is_null(t["__hit"])
-        return t.filter(keep).drop_columns(["__h", "__hit"])
+    schema = _as_schema(ds)
+    names = list(schema.names)
+    types = [schema.field(c).type for c in names]
+    union_names = names + ["__h", "__side"]
 
-    return joined.map_batches(_survivors, batch_format="pyarrow")
+    def _ref_rows(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.array(content_hash(t[rcol]), pa.string()))
+        n = len(u)
+        cols = [pa.nulls(n, ty) for ty in types]
+        cols += [u, pa.array(np.ones(n, np.int8))]
+        return pa.table(cols, names=union_names)
+
+    def _corpus_rows(t: pa.Table) -> pa.Table:
+        # cast to the declared types so both union sides agree exactly
+        # (pandas-block sources can surface as large_string vs string)
+        cols = [
+            t[c] if t[c].type == ty else t[c].cast(ty)
+            for c, ty in zip(names, types)
+        ]
+        cols += [
+            pa.array(content_hash(t[text_col]), pa.string()),
+            pa.array(np.zeros(len(t), np.int8)),
+        ]
+        return pa.table(cols, names=union_names)
+
+    union = ds.map_batches(_corpus_rows, batch_format="pyarrow").union(
+        ref_ds.map_batches(_ref_rows, batch_format="pyarrow")
+    )
+    empty_out = pa.table([pa.array([], ty) for ty in types], names=names)
+
+    def _anti(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        corp = t.filter(pc.equal(side, 0))
+        if len(corp) == 0:
+            return empty_out
+        refh = t.filter(pc.equal(side, 1))["__h"]
+        if len(refh):
+            if isinstance(refh, pa.ChunkedArray):
+                refh = refh.combine_chunks()
+            keep = pc.invert(pc.is_in(corp["__h"], value_set=refh))
+            corp = corp.filter(keep)
+        return corp.drop_columns(["__h", "__side"])
+
+    return keyed_map(union, "__h", _anti, num_buckets=num_partitions)
 
 
 def ngram_jaccard_against(
@@ -830,19 +895,7 @@ def _verify_cross_pairs(
 ):
     """Shared exact-Jaccard verify for cross-corpus candidate pairs: join
     both texts back, compute exact token Jaccard, keep >= threshold."""
-    from .exchange import default_parallelism
-
-    nparts = max(2, default_parallelism() // 2)
-    ctexts = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.rename_columns(["__jid_l", "__text_l"]), batch_format="pyarrow"
-    )
-    rtexts = ref_ds.select_columns([ric, rtc]).map_batches(
-        lambda t: t.rename_columns(["__jid_r", "__text_r"]), batch_format="pyarrow"
-    )
-    j = cand.join(ctexts, join_type="inner", num_partitions=nparts,
-                  on=("id_l",), right_on=("__jid_l",))
-    j = j.join(rtexts, join_type="inner", num_partitions=nparts,
-               on=("id_r",), right_on=("__jid_r",))
+    j = _attach_pair_texts(cand, ds, ref_ds, id_col, text_col, ric=ric, rtc=rtc)
 
     def _verify(t: pa.Table) -> pa.Table:
         jac = (
@@ -1113,16 +1166,7 @@ def prefix_jaccard_pairs(
 
     cand = keyed_map(cand, "id_l", _distinct, num_buckets=num_buckets)
 
-    texts = ds.select_columns([id_col, text_col])
-    nparts = max(2, default_parallelism() // 2)
-    j = cand.join(
-        texts.rename_columns({id_col: "__jid_l", text_col: "__text_l"}),
-        join_type="inner", num_partitions=nparts, on=("id_l",), right_on=("__jid_l",),
-    )
-    j = j.join(
-        texts.rename_columns({id_col: "__jid_r", text_col: "__text_r"}),
-        join_type="inner", num_partitions=nparts, on=("id_r",), right_on=("__jid_r",),
-    )
+    j = _attach_pair_texts(cand, ds, ds, id_col, text_col, num_buckets=num_buckets)
 
     def _verify(t: pa.Table) -> pa.Table:
         jac = (

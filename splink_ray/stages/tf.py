@@ -134,14 +134,15 @@ def prepare_tf(records_ds, columns: list[str], broadcast_limit: int = 1_000_000)
         return records_ds, {}, []
     from ray.data.aggregate import Sum
 
-    from .exchange import default_parallelism
+    from .joins import _as_schema, shuffle_join
 
     tf_maps: dict[str, dict] = {}
     join_cols: list[str] = []
-    nparts = max(2, default_parallelism() // 2)
 
-    schema = records_ds.schema()
-    types = dict(zip(schema.names, schema.types))
+    schema = _as_schema(records_ds)
+    # running schema of records_ds, updated as tf_<c> columns are joined on
+    rec_fields = [(n, schema.field(n).type) for n in schema.names]
+    types = {n: t for n, t in rec_fields}
     str_cols = [
         c
         for c in columns
@@ -195,8 +196,20 @@ def prepare_tf(records_ds, columns: list[str], broadcast_limit: int = 1_000_000)
                 return pa.table({c: t["val"], f"tf_{c}": pa.array(n / max(denom, 1.0))})
 
             tf_ds = sub.map_batches(_tf, batch_format="pyarrow")
-            records_ds = records_ds.join(
-                tf_ds, join_type="left_outer", num_partitions=nparts, on=(c,)
+            # hardened sort-exchange join, NOT Dataset.join: `sub` descends
+            # from a groupby whose empty partitions emit schema-less blocks
+            # that break the hash-shuffle join (see joins.shuffle_join)
+            records_ds = shuffle_join(
+                records_ds, tf_ds, on=c, how="left_outer",
+                left_schema=pa.schema(rec_fields),
+                right_schema=pa.schema([(c, types[c]), (f"tf_{c}", pa.float64())]),
+            )
+            # shuffle_join output order: key first, then the other left
+            # columns, then the right value column
+            rec_fields = (
+                [(c, types[c])]
+                + [(n, ty) for n, ty in rec_fields if n != c]
+                + [(f"tf_{c}", pa.float64())]
             )
             join_cols.append(c)
 

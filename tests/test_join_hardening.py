@@ -1,0 +1,180 @@
+"""Regression tests for the Dataset.join → shuffle_join hardening.
+
+Ray 2.49's hash-shuffle ``Dataset.join`` raises ``ArrowInvalid`` when an
+entire join partition consists of schema-less empty blocks —
+``groupby().map_groups()`` / ``aggregate()`` emit such blocks for empty
+partitions, and the failure is parallelism-dependent (it killed the
+``dedup_against_docs`` driver run at num_cpus=32 / CORRECTNESS_r04 while
+passing at 8). These tests (a) pin the Ray behavior the hardening is built
+around, and (b) force the empty-bucket condition (num_buckets ≫ distinct
+keys) through every migrated call site.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_schema_less_empty_blocks_bypass_map_batches(ray_session):
+    """The hazard premise: map_groups emits schema-less EMPTY blocks for
+    empty partitions, and a downstream map_batches UDF never sees them —
+    so a schema-fixing pass cannot repair them. If this starts failing on
+    a Ray upgrade, the shuffle_join workaround can be revisited."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})).repartition(8)
+    seen = []
+
+    def probe(t: pa.Table) -> pa.Table:
+        seen.append((t.num_rows, tuple(t.column_names)))
+        return t
+
+    out = ds.groupby("k").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).map_batches(probe, batch_format="pyarrow")
+    empties = 0
+    for ref in out.get_internal_block_refs():
+        blk = ray.get(ref)
+        ncols = len(blk.columns) if isinstance(blk, pd.DataFrame) else blk.num_columns
+        if ncols == 0:
+            empties += 1
+    # schema-less empties exist in the output => they bypassed the UDF
+    assert empties > 0
+    assert all(cols == ("k", "v") for _, cols in seen if cols)
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_shuffle_join_matches_pandas(ray_session, how):
+    """Semantics vs pandas merge: duplicate keys (cross product), null keys
+    (never match; survive a left_outer), clash suffix, and BOTH sides fed
+    through a groupby (injecting schema-less empty blocks) at
+    num_buckets=64 ≫ distinct keys (forcing empty buckets)."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    left = pd.DataFrame(
+        {"k": ["a", "a", "b", "c", None], "x": [1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame(
+        {"kk": ["a", "a", "c", "d"], "x": [10.0, 11.0, 12.0, 13.0]}
+    )
+    lds = rd.from_pandas(left).repartition(4)
+    # right side through map_groups => schema-less empty blocks upstream
+    rds = (
+        rd.from_pandas(right)
+        .repartition(6)
+        .groupby("kk")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+    )
+    out = shuffle_join(
+        lds, rds, on="k", right_on="kk", how=how,
+        left_schema=pa.schema([("k", pa.string()), ("x", pa.int64())]),
+        right_schema=pa.schema([("kk", pa.string()), ("x", pa.float64())]),
+        num_buckets=64,
+    ).to_pandas()
+    exp = left.merge(
+        right.rename(columns={"kk": "k", "x": "x_r"}),
+        on="k",
+        how="inner" if how == "inner" else "left",
+    )
+    assert sorted(out.columns) == sorted(exp.columns)
+    key = lambda df: df.fillna({"k": "~", "x_r": -1}).sort_values(
+        ["k", "x", "x_r"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out)[exp.columns], key(exp), check_dtype=False)
+
+
+def test_dedup_against_empty_bucket_condition(ray_session):
+    """The exact condition that killed the r04 driver run: far more
+    partitions than distinct hashes. The keyed-exchange anti-join must
+    survive it and produce the right survivors."""
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import dedup_against
+
+    corpus = pa.table(
+        {"doc_id": [1, 2, 3, 4, 5],
+         "text": ["alpha", "beta", "gamma", "alpha", "delta"]}
+    )
+    ref = pa.table({"text": ["alpha", "gamma", "gamma"]})
+    out = (
+        dedup_against(
+            rd.from_arrow(corpus).repartition(3),
+            rd.from_arrow(ref).repartition(4),
+            "text", "doc_id", num_partitions=64,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == [2, 5]
+    assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_forced_join_paths_survive_high_bucket_counts(ray_session, monkeypatch):
+    """Every migrated join site, with SPLINK_RAY_NUM_BUCKETS pinned far above
+    the key count so keyed exchanges produce mostly-empty buckets."""
+    import ray.data as rd
+
+    from splink_ray.stages import corpus
+    from splink_ray.stages.dedup import (
+        ngram_jaccard_against,
+        ngram_jaccard_lsh_verified,
+        prefix_jaccard_pairs,
+    )
+
+    monkeypatch.setenv("SPLINK_RAY_NUM_BUCKETS", "48")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "completely different content here entirely now",
+                "the quick brown fox jumps over the lazy dog",
+            ],
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(3)
+
+    # unigram_logprob huge-vocab fallback (shuffle_join on the token)
+    lp = corpus.unigram_logprob(ds, "text", "doc_id", broadcast_threshold=0)
+    lp_bc = corpus.unigram_logprob(ds, "text", "doc_id")
+    a = lp.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = lp_bc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # top_distinctive_terms huge-vocab fallback
+    tt = corpus.top_distinctive_terms(
+        ds, "text", "doc_id", k=2, broadcast_threshold=0
+    ).to_pandas()
+    tt_bc = corpus.top_distinctive_terms(ds, "text", "doc_id", k=2).to_pandas()
+    key = ["doc_id", "rank"]
+    pd.testing.assert_frame_equal(
+        tt.sort_values(key).reset_index(drop=True)[tt_bc.columns],
+        tt_bc.sort_values(key).reset_index(drop=True),
+    )
+
+    # LSH-verified self near-dup join-back
+    pairs = ngram_jaccard_lsh_verified(
+        ds, "text", "doc_id", threshold=0.5, num_perm=32, bands=16
+    ).to_pandas()
+    assert {(1, 4)} <= set(zip(pairs.id_l, pairs.id_r))
+
+    # exact-recall prefix-filter join-back
+    ppairs = prefix_jaccard_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    assert (1, 4) in set(zip(ppairs.id_l, ppairs.id_r))
+
+    # cross-corpus fuzzy decontamination join-back
+    ref = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([10], pa.int64()),
+             "text": ["the quick brown fox jumps over the lazy dog"]}
+        )
+    )
+    cross = ngram_jaccard_against(
+        ds, ref, "text", "doc_id", threshold=0.8, num_perm=32, bands=16
+    ).to_pandas()
+    assert {1, 4} <= set(cross.doc_id)
