@@ -1531,67 +1531,18 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Entry order matters: the grading driver evaluates a prefix window
-    (50 of 76 in round 3), so queries that have never had a driver row —
-    plus any query whose oracle changed this round — come FIRST; operators
-    already hash-green in CORRECTNESS_r03 fill the remainder, one
-    representative per family inside the window, the rest after."""
+    (50 of 77 in rounds 3-4). Round-5 rotation: (1) dedup_against_docs —
+    the only never-green query, reimplemented this round — leads; (2) the
+    27 queries whose last green row was r3 (displaced from the r4 window)
+    so the union of CORRECTNESS_r04+r05 covers all 77; (3) every query
+    whose implementation changed this round (shuffle_join migration, ANN
+    merge rewrite, dictionary-path guards) re-verifies inside the window;
+    (4) r4-green fill. Entries beyond the window are all r4-green."""
     return {
-        # --- never driver-verified before round 4 (r2-green or local-only) ---
-        "distinct_users_per_type": q_distinct_users_per_type,
-        "sentences_docs": q_sentences_docs,
-        "distinctive_terms_docs": q_distinctive_terms_docs,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "shard_docs": q_shard_docs,
-        "bm25_search_docs": q_bm25_search_docs,
-        "dup_spans_docs": q_dup_spans_docs,
-        "topic_clusters_embeddings": q_topic_clusters_embeddings,
-        "temperature_sample_docs": q_temperature_sample_docs,
+        # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
-        "jaccard_against_docs": q_jaccard_against_docs,
-        "embedding_dedup_groups": q_embedding_dedup_groups,
-        "canonicalize_transcripts": q_canonicalize_transcripts,
-        "conversation_stats": q_conversation_stats,
-        "turn_repetition": q_turn_repetition,
-        "last_k_turns": q_last_k_turns,
-        "revenue_by_segment": q_revenue_by_segment,
-        "revenue_by_priority": q_revenue_by_priority,
-        "source_overlap": q_source_overlap,
-        "remove_dup_spans_docs": q_remove_dup_spans,
-        "docs_above_q90": q_docs_above_q90,
-        "golden_records": q_golden_records,
-        "pagerank_docs": q_pagerank_docs,
-        "label_centroids": q_label_centroids,
-        "flagship_predict": q_flagship_predict,
-        "flagship_clusters": q_flagship_clusters,
-        # --- oracle dtype-fixed this round (r3 hash-fail -> must re-verify) ---
-        "truth_space_customer": q_truth_space_customer,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        # --- new round-4 operators ---
-        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-        # --- r3 hash-green family representatives (inside the window) ---
-        "blocking_pairs": q_blocking_pairs,
-        "exploding_pairs": q_exploding_pairs,
-        "link_and_dedupe_pairs": q_link_and_dedupe_pairs,
-        "gamma_customer": q_gamma_customer,
-        "predict_scores": q_predict_scores,
-        "tf_mktsegment": q_tf_mktsegment,
-        "em_agreement_patterns": q_em_agreement_patterns,
-        "estimate_u_md5": q_estimate_u,
-        "clusters_distributed": q_clusters_distributed,
-        "graph_degree": q_graph_degree,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "knn_embeddings": q_knn_embeddings,
-        "fingerprint_docs": q_fingerprint_docs,
-        "sessionize_events": q_sessionize_events,
-        "rolling_window_events": q_rolling_window_events,
-        "pmi_collocations": q_pmi_collocations,
-        "unigram_logprob_docs": q_unigram_logprob_docs,
+        # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
         "stratified_sample_docs": q_stratified_sample_docs,
-        # --- r3 hash-green, same families as above (after the window) ---
         "vertical_concat": q_vertical_concat,
         "profile_top_event_types": q_profile_top_event_types,
         "completeness_customer": q_completeness_customer,
@@ -1618,6 +1569,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
         "event_transitions": q_event_transitions,
+        # --- (3) implementation touched this round: re-verify ---
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "jaccard_against_docs": q_jaccard_against_docs,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
+        "distinctive_terms_docs": q_distinctive_terms_docs,
+        "knn_embeddings": q_knn_embeddings,
+        "predict_scores": q_predict_scores,
+        "gamma_customer": q_gamma_customer,
+        "tf_mktsegment": q_tf_mktsegment,
+        # --- (4) r4-green fill (flagship + family representatives) ---
+        "flagship_predict": q_flagship_predict,
+        "flagship_clusters": q_flagship_clusters,
+        "clusters_distributed": q_clusters_distributed,
+        "em_agreement_patterns": q_em_agreement_patterns,
+        "estimate_u_md5": q_estimate_u,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "canonicalize_transcripts": q_canonicalize_transcripts,
+        "remove_dup_spans_docs": q_remove_dup_spans,
+        "golden_records": q_golden_records,
+        "pagerank_docs": q_pagerank_docs,
+        # --- beyond the 50-query window: all r4 hash-green ---
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "sentences_docs": q_sentences_docs,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "shard_docs": q_shard_docs,
+        "bm25_search_docs": q_bm25_search_docs,
+        "dup_spans_docs": q_dup_spans_docs,
+        "topic_clusters_embeddings": q_topic_clusters_embeddings,
+        "temperature_sample_docs": q_temperature_sample_docs,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
+        "conversation_stats": q_conversation_stats,
+        "turn_repetition": q_turn_repetition,
+        "last_k_turns": q_last_k_turns,
+        "revenue_by_segment": q_revenue_by_segment,
+        "revenue_by_priority": q_revenue_by_priority,
+        "source_overlap": q_source_overlap,
+        "docs_above_q90": q_docs_above_q90,
+        "label_centroids": q_label_centroids,
+        "truth_space_customer": q_truth_space_customer,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "blocking_pairs": q_blocking_pairs,
+        "exploding_pairs": q_exploding_pairs,
+        "link_and_dedupe_pairs": q_link_and_dedupe_pairs,
+        "graph_degree": q_graph_degree,
+        "fingerprint_docs": q_fingerprint_docs,
+        "sessionize_events": q_sessionize_events,
+        "rolling_window_events": q_rolling_window_events,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
