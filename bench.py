@@ -225,12 +225,53 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
         warm_turns = 200_000
         run_linkage(ensure_fixture(warm_turns), out_dir, warm_turns)
 
+    # BENCH_MONITOR=1: poll object-store usage during the timed window (for
+    # the large-turn memory-scale runs — proves "no spill, bounded store"
+    # beyond the default bench size). Peak = max(total - available) over
+    # 2-second samples; spill bytes read from Ray's own memory summary.
+    mon: dict = {}
+    mon_stop = None
+    if os.environ.get("BENCH_MONITOR") == "1":
+        import threading
+
+        total_store = ray.cluster_resources().get("object_store_memory", 0)
+        mon["object_store_total_bytes"] = int(total_store)
+        mon["object_store_peak_bytes"] = 0
+        mon_stop = threading.Event()
+
+        def _poll():
+            while not mon_stop.is_set():
+                try:
+                    avail = ray.available_resources().get("object_store_memory", total_store)
+                    used = int(total_store - avail)
+                    if used > mon["object_store_peak_bytes"]:
+                        mon["object_store_peak_bytes"] = used
+                except Exception:
+                    pass
+                mon_stop.wait(2.0)
+
+        threading.Thread(target=_poll, daemon=True).start()
+
     st0, tt0 = _cpu_stat()
     linkage_samples: list[tuple[dict, dict]] = []
     for _ in range(runs):
         linkage_samples.append(run_linkage(fixture, out_dir, turns))
     corpus_samples = [run_corpus_ops(sf_dir) for _ in range(runs)]
     st1, tt1 = _cpu_stat()
+    if mon_stop is not None:
+        mon_stop.set()
+        try:
+            from ray._private.internal_api import memory_summary
+
+            summ = memory_summary(stats_only=True)
+            for line in summ.splitlines():
+                if "Spilled" in line:
+                    mon["spill_summary"] = line.strip()
+                    break
+            else:
+                mon["spill_summary"] = "no spill line (nothing spilled)"
+        except Exception as e:
+            mon["spill_summary"] = f"unavailable: {e}"
 
     def med(samples, key) -> float:
         return round(statistics.median(s[0][key] for s in samples), 2)
@@ -245,6 +286,8 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
         for s in linkage_samples
     ]
     extras["linkage_runs"] = per_run
+    if mon:
+        extras.update(mon)
     extras["bench_runs"] = runs
     if tt1 > tt0:
         # hypervisor CPU steal during the timed window: this VM is throttled

@@ -655,15 +655,23 @@ def _pairgen_score_stream(
     earlier_by_rule: dict[int, list[str]],
     tf_refs,
     keep_cols: list[str],
-    chunk_pairs: int = 262_144,
+    chunk_pairs: int | None = None,
 ):
     """Generator: pair indices for the whole bucket, then take→score→yield in
     ``chunk_pairs`` slices. Peak memory per task stays ~chunk-sized even for
     multi-million-pair blocks (a 2.4M-pair block's wide table is ~1.5 GB;
     32 concurrent tasks of those thrash the heap — measured 471k pairs/s at
-    32 CPUs, chunked it is compute-bound again)."""
+    32 CPUs, chunked it is compute-bound again). Default 512k pairs/chunk:
+    with per-bucket dictionary encoding the chunk gathers move int32 codes
+    (~8× narrower than the r3 string chunks), so a larger chunk re-amortizes
+    per-chunk kernel setup — A/B swept 256k/512k/1M at 32 CPUs (BASELINE.md
+    round-5 chunk sweep); 512k won, 1M was flat-to-worse (heap pressure).
+    ``SPLINK_RAY_CHUNK_PAIRS`` overrides."""
     from ..settings import make_eval_context
     from .scoring import score_pair_batch
+
+    if chunk_pairs is None:
+        chunk_pairs = int(os.environ.get("SPLINK_RAY_CHUNK_PAIRS", "524288"))
 
     uid_col = settings.unique_id_column_name
     cap_pairs = settings.max_pairs_per_block

@@ -133,7 +133,7 @@ def main():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=8,
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
