@@ -242,7 +242,9 @@ def run_bench(sf_dir: str, num_cpus: int, turns: int) -> dict:
         def _poll():
             while not mon_stop.is_set():
                 try:
-                    avail = ray.available_resources().get("object_store_memory", total_store)
+                    # Ray OMITS resources whose available quantity is 0, so a
+                    # missing key means FULLY USED — default 0.0, never total
+                    avail = ray.available_resources().get("object_store_memory", 0.0)
                     used = int(total_store - avail)
                     if used > mon["object_store_peak_bytes"]:
                         mon["object_store_peak_bytes"] = used

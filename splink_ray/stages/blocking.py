@@ -394,7 +394,9 @@ def _pairgen_bucket_multi(
             ri = np.concatenate(by_rule_ri[r])
         else:
             li = ri = np.array([], np.int64)
-        take_cols = [uid_col] + out_cols + earlier_bks
+        # dict.fromkeys: same overlap invariant as the fused path below —
+        # duplicate names would make lt[uid_col] ambiguous
+        take_cols = list(dict.fromkeys([uid_col] + out_cols + earlier_bks))
         lt = t.select(take_cols).take(pa.array(li))
         rt = t.select(take_cols).take(pa.array(ri))
 

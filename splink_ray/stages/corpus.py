@@ -707,12 +707,19 @@ def dup_span_stats(ds, text_col: str, id_col: str, n: int = 5, num_buckets=None)
         .rename_columns({id_col: "__sid"})
     )
     totals = ds.map_batches(_totals, batch_format="pyarrow")
-    joined = totals.join(
+    # hardened sort-exchange join, NOT Dataset.join: `shared` descends from
+    # keyed_map + a groupby aggregate, whose empty partitions emit
+    # schema-less blocks that break the hash-shuffle join at high partition
+    # counts (stages/joins.py::shuffle_join hazard writeup)
+    from .joins import _as_schema, shuffle_join
+
+    id_type = _as_schema(ds).field(id_col).type
+    joined = shuffle_join(
+        totals,
         shared,
-        join_type="left_outer",
-        num_partitions=max(2, default_parallelism() // 2),
-        on=(id_col,),
-        right_on=("__sid",),
+        on=id_col, right_on="__sid", how="left_outer",
+        left_schema=pa.schema([(id_col, id_type), ("n_spans", pa.int64())]),
+        right_schema=pa.schema([("__sid", id_type), ("n_shared", pa.int64())]),
     )
 
     def _finish(t: pa.Table) -> pa.Table:
@@ -842,14 +849,33 @@ def pmi_collocations(ds, text_col: str, k: int = 20, min_count: int = 5):
         return fn
 
     cand = counts.map_batches(_cand, batch_format="pyarrow")
-    nparts = max(2, default_parallelism() // 2)
-    j = cand.join(
-        counts.map_batches(_uni(1), batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts, on=("w1",), right_on=("__w1",),
+    # hardened sort-exchange joins, NOT Dataset.join: both sides descend
+    # from the `counts` groupby aggregate, whose schema-less empty
+    # partitions break the hash-shuffle join at high partition counts, and
+    # the _cand/_uni guards cannot repair them — Ray routes empty blocks
+    # around map_batches UDFs (stages/joins.py::shuffle_join)
+    from .joins import shuffle_join
+
+    cand_schema = pa.schema(
+        [("gram", pa.string()), ("n", pa.int64()),
+         ("w1", pa.string()), ("w2", pa.string())]
     )
-    j = j.join(
+    j = shuffle_join(
+        cand,
+        counts.map_batches(_uni(1), batch_format="pyarrow"),
+        on="w1", right_on="__w1", how="inner",
+        left_schema=cand_schema,
+        right_schema=pa.schema([("__w1", pa.string()), ("n1", pa.int64())]),
+    )
+    j = shuffle_join(
+        j,
         counts.map_batches(_uni(2), batch_format="pyarrow"),
-        join_type="inner", num_partitions=nparts, on=("w2",), right_on=("__w2",),
+        on="w2", right_on="__w2", how="inner",
+        left_schema=pa.schema(
+            [("w1", pa.string()), ("gram", pa.string()), ("n", pa.int64()),
+             ("w2", pa.string()), ("n1", pa.int64())]
+        ),
+        right_schema=pa.schema([("__w2", pa.string()), ("n2", pa.int64())]),
     )
 
     def _pmi(t: pa.Table) -> pa.Table:

@@ -132,11 +132,13 @@ class TextEmbedder:
         bucketed by a Knuth multiplicative hash, fully vectorized."""
         data, offsets = self._string_bytes(arr)
         n = len(offsets) - 1
-        base = offsets[0]
         lens = np.diff(offsets).astype(np.int64)
         g = self.ngram
         counts = np.maximum(lens - g + 1, 0)
-        doc_starts = (offsets[:-1].astype(np.int64) - base)
+        # offsets index ``data`` ABSOLUTELY (frombuffer starts at byte 0), so
+        # doc starts must stay absolute — subtracting offsets[0] here broke
+        # any array whose slice offset left offsets[0] != 0
+        doc_starts = offsets[:-1].astype(np.int64)
         within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )

@@ -99,8 +99,8 @@ def _as_schema(schema) -> pa.Schema:
 def shuffle_join(
     left,
     right,
-    on: str,
-    right_on: str | None = None,
+    on,
+    right_on=None,
     how: str = "inner",
     left_schema=None,
     right_schema=None,
@@ -127,94 +127,129 @@ def shuffle_join(
     Semantics match ``Dataset.join`` for equi-joins: ``how`` is ``"inner"``
     or ``"left_outer"``; duplicate keys produce the cross product per key;
     null keys never match (left rows with null keys survive a left_outer
-    with null right columns). The right key column is dropped from the
-    output (key appears once, under the LEFT name); right value columns
-    that clash with left names get ``suffix``. Both sides stream; shuffle
-    volume is the two projected sides, exchanged once on the key hash.
+    with null right columns). ``on`` / ``right_on`` accept a single column
+    name or a sequence for composite keys (multi-key exchanges co-locate on
+    a combined xxhash of the key tuple; the in-bucket Arrow join matches on
+    the real columns, so hash collisions cannot mis-join). The right key
+    columns are dropped from the output (keys appear once, under the LEFT
+    names); right value columns that clash with left names get ``suffix``.
+    Both sides stream; shuffle volume is the two projected sides, exchanged
+    once on the key hash.
 
     ``left_schema`` / ``right_schema``: pass explicitly (pa.Schema or
     [(name, type)] pairs) when known — deriving via ``Dataset.schema()``
     may partially execute the plan, and on a dataset whose FIRST block is
     schema-less it would mis-infer.
     """
-    from .exchange import keyed_map
+    from .exchange import hash_values, keyed_map
 
     if how not in ("inner", "left_outer"):
         raise ValueError("how must be 'inner' or 'left_outer'")
-    rk = right_on or on
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_on is None:
+        rkeys = list(keys)
+    else:
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(rkeys) != len(keys):
+        raise ValueError("on and right_on must name the same number of columns")
     ls = _as_schema(left_schema if left_schema is not None else left)
     rs = _as_schema(right_schema if right_schema is not None else right)
-    if on not in ls.names:
-        raise ValueError(f"left key {on!r} not in left schema {ls.names}")
-    if rk not in rs.names:
-        raise ValueError(f"right key {rk!r} not in right schema {rs.names}")
-    key_type = ls.field(on).type
+    for k in keys:
+        if k not in ls.names:
+            raise ValueError(f"left key {k!r} not in left schema {ls.names}")
+    for k in rkeys:
+        if k not in rs.names:
+            raise ValueError(f"right key {k!r} not in right schema {rs.names}")
+    key_types = [ls.field(k).type for k in keys]
+    multi = len(keys) > 1
 
-    lval_names = [c for c in ls.names if c != on]
-    rval_in = [c for c in rs.names if c != rk]
+    lval_names = [c for c in ls.names if c not in keys]
+    rval_in = [c for c in rs.names if c not in rkeys]
     rval_out = [
-        (c + suffix if (c in lval_names or c == on) else c) for c in rval_in
+        (c + suffix if (c in lval_names or c in keys) else c) for c in rval_in
     ]
     clash = set(lval_names) & set(rval_out)
     if clash:
         raise ValueError(f"suffixed right columns still clash: {sorted(clash)}")
-    union_names = [on] + lval_names + rval_out + ["__side"]
+    # multi-key: co-locate on a derived combined hash ("__jk"); equal key
+    # tuples always collide (same bucket), unequal collisions are resolved
+    # by the in-bucket multi-column Arrow join
+    exch_key = keys[0] if not multi else "__jk"
+    union_names = keys + lval_names + rval_out + ["__side"] + (
+        ["__jk"] if multi else []
+    )
     lval_types = [ls.field(c).type for c in lval_names]
     rval_types = [rs.field(c).type for c in rval_in]
-    out_names = [on] + lval_names + rval_out
+    out_names = keys + lval_names + rval_out
 
     def _cast(col, ty):
         return col if col.type == ty else col.cast(ty)
 
-    def _prep_left(t: pa.Table) -> pa.Table:
+    def _combined_hash(cols) -> pa.Array:
+        h = hash_values(cols[0])
+        for c in cols[1:]:
+            h = h * np.uint64(1000003) ^ hash_values(c)
+        return pa.array(h, pa.uint64())
+
+    def _prep(t: pa.Table, key_names, val_names, val_types, side: int):
         n = len(t)
-        cols = [_cast(t[on], key_type)]
-        cols += [_cast(t[c], ty) for c, ty in zip(lval_names, lval_types)]
-        cols += [pa.nulls(n, ty) for ty in rval_types]
-        cols.append(pa.array(np.zeros(n, np.int8)))
+        kcols = [
+            _cast(
+                t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray) else t[k],
+                ty,
+            )
+            for k, ty in zip(key_names, key_types)
+        ]
+        cols = list(kcols)
+        if side == 0:
+            cols += [_cast(t[c], ty) for c, ty in zip(val_names, val_types)]
+            cols += [pa.nulls(n, ty) for ty in rval_types]
+        else:
+            cols += [pa.nulls(n, ty) for ty in lval_types]
+            cols += [_cast(t[c], ty) for c, ty in zip(val_names, val_types)]
+        cols.append(pa.array(np.full(n, side, np.int8)))
+        if multi:
+            cols.append(_combined_hash(kcols))
         return pa.table(cols, names=union_names)
 
+    def _prep_left(t: pa.Table) -> pa.Table:
+        return _prep(t, keys, lval_names, lval_types, 0)
+
     def _prep_right(t: pa.Table) -> pa.Table:
-        n = len(t)
-        cols = [_cast(t[rk], key_type)]
-        cols += [pa.nulls(n, ty) for ty in lval_types]
-        cols += [_cast(t[c], ty) for c, ty in zip(rval_in, rval_types)]
-        cols.append(pa.array(np.ones(n, np.int8)))
-        return pa.table(cols, names=union_names)
+        return _prep(t, rkeys, rval_in, rval_types, 1)
 
     union = left.map_batches(_prep_left, batch_format="pyarrow").union(
         right.map_batches(_prep_right, batch_format="pyarrow")
     )
     empty_out = pa.table(
-        [pa.array([], key_type)]
+        [pa.array([], ty) for ty in key_types]
         + [pa.array([], ty) for ty in lval_types]
         + [pa.array([], ty) for ty in rval_types],
         names=out_names,
     )
     arrow_how = "inner" if how == "inner" else "left outer"
+    rk_tmp = [f"__rk{i}" for i in range(len(keys))]
 
     def _bucket_join(t: pa.Table) -> pa.Table:
         side = t["__side"]
-        lt = t.filter(pc.equal(side, 0)).select([on] + lval_names)
+        lt = t.filter(pc.equal(side, 0)).select(keys + lval_names)
         if len(lt) == 0:
             return empty_out
         rt = (
             t.filter(pc.equal(side, 1))
-            .select([on] + rval_out)
-            .rename_columns(["__rk"] + rval_out)
+            .select(keys + rval_out)
+            .rename_columns(rk_tmp + rval_out)
         )
         if len(rt) == 0:
             if how == "inner":
                 return empty_out
             return pa.table(
-                [lt[on]]
+                [lt[k] for k in keys]
                 + [lt[c] for c in lval_names]
                 + [pa.nulls(len(lt), ty) for ty in rval_types],
                 names=out_names,
             )
-        j = lt.join(
-            rt, keys=on, right_keys="__rk", join_type=arrow_how
-        )
+        j = lt.join(rt, keys=keys, right_keys=rk_tmp, join_type=arrow_how)
         return j.select(out_names)
 
-    return keyed_map(union, on, _bucket_join, num_buckets=num_buckets)
+    return keyed_map(union, exch_key, _bucket_join, num_buckets=num_buckets)

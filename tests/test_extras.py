@@ -608,7 +608,10 @@ def test_text_embedder_real_artifact_contract(ray_session, tmp_path):
     )
 
     # (a) load-once-per-actor: 60 rows / batch_size 5 = 12 batches through
-    # 2 actors -> exactly 2 artifact loads recorded, never 12
+    # a 2-actor pool -> one artifact load per CONSTRUCTED actor, never per
+    # batch. Ray's pool scales lazily, so 1 or 2 actors may run __init__
+    # depending on timing — the contract is <= pool size and one distinct
+    # pid per load, not an exact count.
     log = str(tmp_path / "loads.log")
     a = (
         embed_text(
@@ -619,7 +622,8 @@ def test_text_embedder_real_artifact_contract(ray_session, tmp_path):
     )
     with open(log) as f:
         loads = f.read().splitlines()
-    assert len(loads) == 2, loads
+    assert 1 <= len(loads) <= 2, loads          # never one load per batch (12)
+    assert len(set(loads)) == len(loads), loads  # each actor loads exactly once
 
     # (b) batch/partition invariance with the real artifact
     b = (
@@ -645,3 +649,30 @@ def test_text_embedder_real_artifact_contract(ray_session, tmp_path):
     out = knn_brute_force(emb, "vec", "doc_id", qm, [0, 1], k=3).to_pandas()
     top = out[out["rank"] == 1].sort_values("query_id")
     assert list(top["doc_id"]) == [0, 1]
+
+
+def test_text_embedder_slice_offset_invariant(tmp_path):
+    """Featurization must be identical for a zero-copy Arrow slice (nonzero
+    array offset => offsets[0] != 0) and a freshly-built equal array —
+    regression for the trigram path indexing the absolute data buffer with
+    base-relative starts."""
+    from splink_ray.stages.inference import TextEmbedder, train_hashed_trigram_encoder
+
+    model = train_hashed_trigram_encoder(
+        str(tmp_path / "enc.parquet"), vocab=128, dim=8, seed=3
+    )
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota", "kappa"]
+    full = pa.array(texts, pa.string())
+    sliced = full.slice(1)           # offsets[0] != 0, shares buffers
+    assert sliced.offset == 1
+    rebuilt = pa.array(texts[1:], pa.string())
+
+    emb = TextEmbedder(model_path=model)
+    np.testing.assert_array_equal(
+        emb._featurize_trigrams(sliced), emb._featurize_trigrams(rebuilt)
+    )
+    np.testing.assert_array_equal(emb._featurize(sliced), emb._featurize(rebuilt))
+    # and the trigram histogram of the full array row i+1 == sliced row i
+    np.testing.assert_array_equal(
+        emb._featurize_trigrams(full)[1:], emb._featurize_trigrams(sliced)
+    )

@@ -87,6 +87,58 @@ def test_shuffle_join_matches_pandas(ray_session, how):
     pd.testing.assert_frame_equal(key(out)[exp.columns], key(exp), check_dtype=False)
 
 
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_shuffle_join_composite_key_matches_pandas(ray_session, how):
+    """Multi-key path: co-locates on a combined hash of the key tuple but
+    matches on the real columns, so rows equal on one key and different on
+    the other must NOT join; null in ANY key column never matches."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    left = pd.DataFrame(
+        {
+            "k1": ["a", "a", "b", "b", None],
+            "k2": [1, 2, 1, 2, 1],
+            "x": [10, 20, 30, 40, 50],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "r1": ["a", "a", "b", "c"],
+            "r2": [1, 1, 2, 1],
+            "y": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    lds = rd.from_pandas(left).repartition(4)
+    rds = (
+        rd.from_pandas(right)
+        .repartition(5)
+        .groupby("r1")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+    )
+    out = shuffle_join(
+        lds, rds, on=["k1", "k2"], right_on=["r1", "r2"], how=how,
+        left_schema=pa.schema(
+            [("k1", pa.string()), ("k2", pa.int64()), ("x", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("r1", pa.string()), ("r2", pa.int64()), ("y", pa.float64())]
+        ),
+        num_buckets=64,
+    ).to_pandas()
+    exp = left.merge(
+        right.rename(columns={"r1": "k1", "r2": "k2"}),
+        on=["k1", "k2"],
+        how="inner" if how == "inner" else "left",
+    )
+    assert sorted(out.columns) == sorted(exp.columns)
+    key = lambda df: df.fillna({"k1": "~", "y": -1.0}).sort_values(
+        ["k1", "k2", "x", "y"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out)[exp.columns], key(exp), check_dtype=False)
+
+
 def test_dedup_against_empty_bucket_condition(ray_session):
     """The exact condition that killed the r04 driver run: far more
     partitions than distinct hashes. The keyed-exchange anti-join must
