@@ -1579,6 +1579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_scores": q_predict_scores,
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
+        "dup_spans_docs": q_dup_spans_docs,
+        "pmi_collocations": q_pmi_collocations,
         # --- (4) r4-green fill (flagship + family representatives) ---
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
@@ -1591,15 +1593,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "remove_dup_spans_docs": q_remove_dup_spans,
+        # --- beyond the 50-query window: all r4 hash-green ---
         "golden_records": q_golden_records,
         "pagerank_docs": q_pagerank_docs,
-        # --- beyond the 50-query window: all r4 hash-green ---
         "distinct_users_per_type": q_distinct_users_per_type,
         "sentences_docs": q_sentences_docs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "shard_docs": q_shard_docs,
         "bm25_search_docs": q_bm25_search_docs,
-        "dup_spans_docs": q_dup_spans_docs,
         "topic_clusters_embeddings": q_topic_clusters_embeddings,
         "temperature_sample_docs": q_temperature_sample_docs,
         "embedding_dedup_groups": q_embedding_dedup_groups,
@@ -1620,7 +1621,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "sessionize_events": q_sessionize_events,
         "rolling_window_events": q_rolling_window_events,
-        "pmi_collocations": q_pmi_collocations,
     }
 
 
