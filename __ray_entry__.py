@@ -1046,6 +1046,18 @@ def q_topic_clusters_embeddings(sf_dir: str):
     )
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """Dedup: SemDedup (Abbas et al. 2023) — k-means partition (k=8, one
+    Lloyd step, deterministic seeding) then within-cluster cosine leader
+    dedup at 0.35; (vec_id, topic, kept) audit table."""
+    from splink_ray.stages.dedup import semdedup
+
+    return semdedup(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]), "embedding",
+        "vec_id", k=8, threshold=0.35, lloyd_iters=1,
+    )
+
+
 def q_temperature_sample_docs(sf_dir: str):
     """Sampling: temperature-flattened (alpha=0.5) domain mixture over lang
     strata, expected 200 rows, deterministic md5-cut gate."""
@@ -1592,8 +1604,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "canonicalize_transcripts": q_canonicalize_transcripts,
-        "remove_dup_spans_docs": q_remove_dup_spans,
+        # --- new in round 5 (takes a window slot from an r4-green re-run,
+        # so the r4∪r5 union still covers every pre-existing query) ---
+        "semdedup_embeddings": q_semdedup_embeddings,
         # --- beyond the 50-query window: all r4 hash-green ---
+        "remove_dup_spans_docs": q_remove_dup_spans,
         "golden_records": q_golden_records,
         "pagerank_docs": q_pagerank_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
@@ -1920,12 +1935,13 @@ def _dup_spans_sql() -> str:
     )
 
 
-def _kmeans_topics_sql() -> str:
-    """Oracle for topic_clusters_embeddings: seeds = embeddings of the 8
-    smallest vec_ids, one Lloyd step (argmin assign → per-dimension avg,
+def _kmeans_fin_cte() -> str:
+    """Shared WITH-clause body: seeds = embeddings of the 8 smallest
+    vec_ids, one Lloyd step (argmin assign → per-dimension avg,
     half-up-rounded to 6 decimals exactly like the engine — the rounding is
-    what pins numpy/DuckDB float parity), final argmin assignment
-    (stages/ann.py::kmeans_topics)."""
+    what pins numpy/DuckDB float parity), final argmin assignment exposed
+    as ``fin(vec_id, c)`` over ``e(vec_id, v)``
+    (stages/ann.py::kmeans_centroids)."""
     argmin = (
         "SELECT vec_id, c FROM (SELECT e.vec_id, s.c, row_number() OVER "
         "(PARTITION BY e.vec_id ORDER BY list_distance(e.v, s.v), s.c) AS rn "
@@ -1945,8 +1961,31 @@ def _kmeans_topics_sql() -> str:
         "CROSS JOIN LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) "
         "AS d) u) sd(c, d, x) LEFT JOIN (SELECT c, d, avg(x) AS mx FROM dims "
         "GROUP BY c, d) m ON m.c = sd.c AND m.d = sd.d GROUP BY sd.c), "
-        f"fin AS ({argmin.format(cents='cent1')}) "
-        "SELECT vec_id, c AS topic FROM fin"
+        f"fin AS ({argmin.format(cents='cent1')})"
+    )
+
+
+def _kmeans_topics_sql() -> str:
+    """Oracle for topic_clusters_embeddings (stages/ann.py::kmeans_topics):
+    the shared one-Lloyd-step assignment, projected."""
+    return _kmeans_fin_cte() + " SELECT vec_id, c AS topic FROM fin"
+
+
+def _semdedup_sql() -> str:
+    """Oracle for semdedup_embeddings (stages/dedup.py::semdedup): the same
+    one-Lloyd-step cluster assignment, then within-cluster leader dedup —
+    kept iff no smaller-vec_id row in the same cluster has cosine ≥ 0.35
+    (DOUBLE math on both engines, matching the embedding_cosine_pairs
+    parity convention)."""
+    return (
+        _kmeans_fin_cte()
+        + ", sims AS (SELECT fb.vec_id AS b FROM fin fa "
+        "JOIN fin fb ON fa.c = fb.c AND fa.vec_id < fb.vec_id "
+        "JOIN e ea ON ea.vec_id = fa.vec_id "
+        "JOIN e eb ON eb.vec_id = fb.vec_id "
+        "WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35) "
+        "SELECT f.vec_id, f.c AS topic, "
+        "f.vec_id NOT IN (SELECT b FROM sims) AS kept FROM fin f"
     )
 
 
@@ -2450,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_docs": _bm25_sql(),
         "dup_spans_docs": _dup_spans_sql(),
         "topic_clusters_embeddings": _kmeans_topics_sql(),
+        "semdedup_embeddings": _semdedup_sql(),
         "temperature_sample_docs": _temperature_sample_sql(),
         "jaccard_against_docs": (
             # fuzzy decontamination oracle: exact token Jaccard over the

@@ -281,11 +281,12 @@ def _assign_nearest(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return d.argmin(axis=1)
 
 
-def kmeans_topics(
+def kmeans_centroids(
     ds, vec_col: str, id_col: str, k: int = 8, lloyd_iters: int = 1,
-):
-    """Topic assignment via distributed Lloyd's k-means over an embedding
-    column: (``id_col``, ``topic``) with ``topic`` in ``[0, k)``.
+) -> np.ndarray:
+    """Fit Lloyd's k-means over an embedding column, returning the (k, dim)
+    float64 centroid matrix (the shared fit step behind
+    :func:`kmeans_topics` and :func:`~.dedup.semdedup`).
 
     Deterministic seeding — the embeddings of the ``k`` smallest ids become
     the initial centroids (at 100-TB scale pick k seed ids by hash instead
@@ -295,17 +296,12 @@ def kmeans_topics(
     rows; a k-row ``groupby.map_groups`` reduces them and the refreshed
     centroids (half-up-rounded to 6 decimals, which pins cross-engine float
     parity) broadcast for the next pass. Empty clusters keep their previous
-    centroid. The final pass assigns and streams out — the driver only ever
-    holds k × dim floats.
-
-    Oracle: seeds CTE + per-dimension ``generate_subscripts`` unnest +
-    ``list_distance`` argmin (``__ray_entry__._kmeans_topics_sql``)."""
+    centroid. The driver only ever holds k × dim floats."""
     from .exchange import broadcast
     from .blocking import _fetch_broadcast
 
     seed_rows = ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).take_all()
     cents = np.array([r[vec_col] for r in seed_rows], np.float64)
-    kk = len(cents)
 
     for _ in range(lloyd_iters):
         ref = broadcast(cents)
@@ -352,6 +348,24 @@ def kmeans_topics(
             )
         cents = new_cents
 
+    return cents
+
+
+def kmeans_topics(
+    ds, vec_col: str, id_col: str, k: int = 8, lloyd_iters: int = 1,
+):
+    """Topic assignment via distributed Lloyd's k-means over an embedding
+    column: (``id_col``, ``topic``) with ``topic`` in ``[0, k)``.
+
+    Fit via :func:`kmeans_centroids` (broadcast-centroid Lloyd passes); the
+    final pass assigns and streams out.
+
+    Oracle: seeds CTE + per-dimension ``generate_subscripts`` unnest +
+    ``list_distance`` argmin (``__ray_entry__._kmeans_topics_sql``)."""
+    from .exchange import broadcast
+    from .blocking import _fetch_broadcast
+
+    cents = kmeans_centroids(ds, vec_col, id_col, k=k, lloyd_iters=lloyd_iters)
     ref = broadcast(cents)
 
     def _final(t: pa.Table) -> pa.Table:

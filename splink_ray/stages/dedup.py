@@ -675,6 +675,75 @@ def embedding_dedup_groups(
     return clustered.rename_columns({"unique_id": str(id_col), "cluster_id": "dup_group_id"})
 
 
+def semdedup(
+    ds, vec_col: str, id_col: str, k: int = 8, threshold: float = 0.9,
+    lloyd_iters: int = 1, num_buckets=None,
+):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition the
+    embedding space, then de-duplicate WITHIN each cluster by cosine
+    similarity — the O(n²/k) restriction that makes semantic dedup
+    tractable at corpus scale. Keep policy is deterministic leader dedup:
+    a row is kept iff no smaller-``id_col`` row in the SAME cluster has
+    cosine ≥ ``threshold`` (the paper keeps one arbitrary member per
+    similar set; smallest-id is the reproducible choice).
+
+    Returns a Dataset ``(id_col, topic, kept)`` — callers filter
+    ``kept`` to materialize the deduplicated corpus, or keep the flags as
+    an audit table.
+
+    Ray shape: centroids fit by :func:`~.ann.kmeans_centroids` (broadcast
+    Lloyd passes), assignment fused into the keying pass, then ONE
+    topic-keyed hash exchange; kept flags are decided entirely in-bucket
+    (each cluster's rows are co-located by construction), so there is no
+    second exchange and no join. Per-cluster work is O(|cluster|²) cosine
+    rows computed in bounded chunks — size ``k`` so clusters fit a worker
+    (the paper's own operating regime: k ≈ n/10⁴)."""
+    from .ann import kmeans_centroids, vecs_to_numpy, _assign_nearest
+    from .blocking import _fetch_broadcast
+    from .exchange import broadcast, keyed_map
+
+    cents = kmeans_centroids(ds, vec_col, id_col, k=k, lloyd_iters=lloyd_iters)
+    ref = broadcast(cents)
+
+    def _key(t: pa.Table) -> pa.Table:
+        c = _fetch_broadcast(ref)
+        x = vecs_to_numpy(t[vec_col])
+        a = (
+            _assign_nearest(x, c)
+            if len(x)
+            else np.empty(0, np.int64)
+        )
+        return t.append_column("topic", pa.array(a, pa.int64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    chunk = 1 << 20  # pair rows per cosine slab: bounds in-task peak memory
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        li, ri, ts = _pairs_in_buckets(t, "topic", id_col)
+        ids = ts[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        topics = ts["topic"]
+        if isinstance(topics, pa.ChunkedArray):
+            topics = topics.combine_chunks()
+        kept = np.ones(len(ts), bool)
+        if len(li):
+            vecs = vecs_to_numpy(ts[vec_col])
+            for lo in range(0, len(li), chunk):
+                l_sl, r_sl = li[lo : lo + chunk], ri[lo : lo + chunk]
+                cos = cosine_similarity(vecs[l_sl], vecs[r_sl])
+                # _pairs_in_buckets sorts (topic, id): ri is always the
+                # LARGER id of the pair, so marking ri implements the
+                # smaller-id-wins leader policy exactly
+                kept[r_sl[cos >= threshold]] = False
+        return pa.table(
+            {id_col: ids, "topic": topics, "kept": pa.array(kept)}
+        )
+
+    return keyed_map(keyed, "topic", _bucket, num_buckets=num_buckets)
+
+
 def dedup_against(
     ds, ref_ds, text_col: str, id_col: str,
     ref_text_col: str | None = None, method: str = "join",

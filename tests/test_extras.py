@@ -392,6 +392,58 @@ def test_kmeans_topics_recovers_separated_blobs(ray_session):
     assert out.topic.nunique() == 3
 
 
+def test_semdedup_brute_oracle(ray_session):
+    """semdedup vs a brute-force in-process oracle: same centroid fit
+    (kmeans_centroids is exercised through the stage), same assignment,
+    then kept = no smaller-id same-cluster row with cosine >= tau."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.ann import _assign_nearest, kmeans_centroids
+    from splink_ray.stages.dedup import semdedup
+    from splink_ray.kernels import cosine_similarity
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    blob = np.arange(120) % 3
+    pts = centers[blob] + rng.normal(0, 1.5, (120, 3))
+    # plant exact near-dups: rows 100.. copy earlier rows with tiny jitter
+    pts[100:] = pts[:20] + rng.normal(0, 1e-3, (20, 3))
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(120).tolist(),
+            "embedding": [list(map(float, p)) for p in pts],
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    tau = 0.999
+    out = (
+        semdedup(ds, "embedding", "vec_id", k=3, threshold=tau, lloyd_iters=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    cents = kmeans_centroids(
+        rd.from_arrow(tbl), "embedding", "vec_id", k=3, lloyd_iters=2
+    )
+    assign = _assign_nearest(pts, cents)
+    kept_expect = np.ones(120, bool)
+    for i in range(120):
+        for j in range(i):
+            if assign[j] == assign[i]:
+                c = cosine_similarity(pts[i : i + 1], pts[j : j + 1])[0]
+                if c >= tau:
+                    kept_expect[i] = False
+                    break
+    assert list(out.columns) == ["vec_id", "topic", "kept"]
+    assert (out.topic.to_numpy() == assign).all()
+    assert (out.kept.to_numpy() == kept_expect).all()
+    # the planted duplicates must have been dropped
+    assert not out.kept.to_numpy()[100:].any()
+
+
 def test_temperature_sample_rates(ray_session):
     import numpy as np
     import pyarrow as pa
