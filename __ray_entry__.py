@@ -1046,6 +1046,24 @@ def q_topic_clusters_embeddings(sf_dir: str):
     )
 
 
+def q_dsir_docs(sf_dir: str):
+    """Sampling/quality: DSIR hashed-unigram importance weights (Xie et al.
+    2023) with target = English docs, 1024 md5 feature buckets, Laplace
+    smoothing; (doc_id, n_tokens, log_weight) — the resampling score."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from splink_ray.stages.corpus import dsir_importance
+
+    def _mark(t: pa.Table) -> pa.Table:
+        return t.append_column("is_target", pc.equal(t["lang"], "en"))
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        _mark, batch_format="pyarrow"
+    )
+    return dsir_importance(ds, "text", "doc_id", "is_target", n_buckets=1024)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """Dedup: SemDedup (Abbas et al. 2023) — k-means partition (k=8, one
     Lloyd step, deterministic seeding) then within-cluster cosine leader
@@ -1602,12 +1620,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "canonicalize_transcripts": q_canonicalize_transcripts,
-        # --- new in round 5 (takes a window slot from an r4-green re-run,
-        # so the r4∪r5 union still covers every pre-existing query) ---
+        # --- new in round 5 (each takes a window slot from an r4-green
+        # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
+        "dsir_docs": q_dsir_docs,
         # --- beyond the 50-query window: all r4 hash-green ---
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "remove_dup_spans_docs": q_remove_dup_spans,
         "golden_records": q_golden_records,
         "pagerank_docs": q_pagerank_docs,
@@ -1969,6 +1988,28 @@ def _kmeans_topics_sql() -> str:
     """Oracle for topic_clusters_embeddings (stages/ann.py::kmeans_topics):
     the shared one-Lloyd-step assignment, projected."""
     return _kmeans_fin_cte() + " SELECT vec_id, c AS topic FROM fin"
+
+
+def _dsir_sql() -> str:
+    """Oracle for dsir_docs (stages/corpus.py::dsir_importance): hashed
+    unigram counts (the sampling stages' md5-cut hash, mod 1024), Laplace
+    +1 over the bucket space, per-doc sum of target/raw log-ratios."""
+    return (
+        "WITH toks AS (SELECT doc_id, (lang = 'en') AS is_t, "
+        "('0x' || substr(md5(g), 1, 8))::UBIGINT % 1024 AS b FROM "
+        "(SELECT doc_id, lang, unnest(str_split(text, ' ')) AS g "
+        "FROM documents)), "
+        "agg AS (SELECT b, count(*) AS n_r, "
+        "coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS n_t "
+        "FROM toks GROUP BY b), "
+        "tot AS (SELECT sum(n_r) AS t_r, sum(n_t) AS t_t FROM agg), "
+        "lr AS (SELECT b, ln((n_t + 1)::DOUBLE / (t_t + 1024)) - "
+        "ln((n_r + 1)::DOUBLE / (t_r + 1024)) AS d "
+        "FROM agg CROSS JOIN tot) "
+        "SELECT t.doc_id AS doc_id, count(*) AS n_tokens, "
+        "round(sum(lr.d), 6) AS log_weight "
+        "FROM toks t JOIN lr ON t.b = lr.b GROUP BY t.doc_id"
+    )
 
 
 def _semdedup_sql() -> str:
@@ -2490,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_docs": _dup_spans_sql(),
         "topic_clusters_embeddings": _kmeans_topics_sql(),
         "semdedup_embeddings": _semdedup_sql(),
+        "dsir_docs": _dsir_sql(),
         "temperature_sample_docs": _temperature_sample_sql(),
         "jaccard_against_docs": (
             # fuzzy decontamination oracle: exact token Jaccard over the

@@ -1049,6 +1049,115 @@ def unigram_logprob(
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def dsir_importance(
+    ds, text_col: str, id_col: str, target_col: str, n_buckets: int = 1024,
+):
+    """DSIR hashed-unigram importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    tokens are under the TARGET domain's hashed-unigram LM than under the
+    raw corpus's — ``log w(x) = Σ_tokens [ln p_t(b) − ln p_r(b)]`` with
+    ``b = md5_u32(token) % n_buckets`` and Laplace ``+1`` smoothing over the
+    ``n_buckets`` feature space (the hashing + smoothing are what make the
+    ratio defined for tokens unseen in the target). High-weight documents
+    are the ones importance resampling would keep.
+
+    ``target_col`` names a boolean column of ``ds`` marking target-domain
+    rows (they also count into the raw distribution, as in the paper's
+    raw-vs-target formulation). Returns (id, n_tokens, log_weight) with
+    log_weight half-away-rounded to 6 decimals.
+
+    Ray shape: ONE streaming counts pass emitting ≤ n_buckets-row partials
+    per batch (raw tokens never shuffle) → a bucket-keyed groupby of
+    bounded size → the dense log-ratio vector (n_buckets floats) broadcasts
+    once via ``ray.put`` → ONE scoring pass. No token-level exchange at any
+    scale. Oracle: ``__ray_entry__._dsir_sql`` (same md5-cut hash the
+    sampling stages use, so DuckDB parity is by construction)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..duckdb_kernels import get_kernel
+
+    K = int(n_buckets)
+
+    def _bucket_of(flat: pa.Array) -> np.ndarray:
+        # hash per DISTINCT token, then scatter: md5 runs once per unique
+        # word per batch, not once per token instance
+        distinct = pc.unique(flat)
+        h = get_kernel().md5_u32(distinct) % np.uint64(K)
+        codes = pc.index_in(flat, distinct).to_numpy(zero_copy_only=False)
+        return h[codes].astype(np.int64)
+
+    empty_counts = pa.table(
+        {
+            "b": pa.array([], pa.int64()),
+            "n_r": pa.array([], pa.int64()),
+            "n_t": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t[text_col])
+        if len(flat) == 0:
+            return empty_counts
+        b = _bucket_of(flat)
+        is_t = np.repeat(
+            t[target_col].to_numpy(zero_copy_only=False).astype(bool), ntok
+        )
+        n_r = np.bincount(b, minlength=K)
+        n_t = np.bincount(b[is_t], minlength=K)
+        keep = n_r > 0
+        return pa.table(
+            {
+                "b": pa.array(np.flatnonzero(keep), pa.int64()),
+                "n_r": pa.array(n_r[keep], pa.int64()),
+                "n_t": pa.array(n_t[keep], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n_r", alias_name="n_r"), Sum("n_t", alias_name="n_t"))
+        .take_all()
+    )  # ≤ n_buckets rows — the one driver-side object, by design
+    n_r = np.zeros(K, np.float64)
+    n_t = np.zeros(K, np.float64)
+    for r in agg:
+        n_r[int(r["b"])] = r["n_r"]
+        n_t[int(r["b"])] = r["n_t"]
+    t_r, t_t = n_r.sum(), n_t.sum()
+    # mirror the oracle's arithmetic order exactly
+    d = np.log((n_t + 1.0) / (t_t + K)) - np.log((n_r + 1.0) / (t_r + K))
+    ref = ray.put(d)
+
+    def _score(t: pa.Table) -> pa.Table:
+        dv = ray.get(ref)
+        flat, ntok = _token_lists(t[text_col])
+        keep = ntok > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], t[id_col].type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "log_weight": pa.array([], pa.float64()),
+                }
+            )
+        b = _bucket_of(flat)
+        seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        sums = np.bincount(seg, weights=dv[b], minlength=len(ntok))
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                "n_tokens": pa.array(ntok[keep], pa.int64()),
+                "log_weight": pa.array(
+                    round_half_away(sums[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def split_sentences(ds, text_col: str, id_col: str):
     """Sentence segmentation: one output row per sentence with
     (id, sent_idx, sentence, n_chars). Sentences split on the RE2 pattern

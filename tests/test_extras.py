@@ -444,6 +444,72 @@ def test_semdedup_brute_oracle(ray_session):
     assert not out.kept.to_numpy()[100:].any()
 
 
+def test_dsir_importance_brute_oracle(ray_session):
+    """dsir_importance vs an in-process brute force over the same md5
+    feature hash; also checks the directional property the paper relies
+    on: target-like documents get higher weights."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.duckdb_kernels import get_kernel
+    from splink_ray.kernels import round_half_away
+    from splink_ray.stages.corpus import dsir_importance
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    other_words = ["eins", "zwei", "drei", "vier"]
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        is_t = i % 2 == 0
+        pool = tgt_words if is_t else other_words
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(pool, size=12)),
+                "is_target": bool(is_t),
+            }
+        )
+    tbl = pa.table(
+        {
+            "doc_id": [r["doc_id"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "is_target": [r["is_target"] for r in rows],
+        }
+    )
+    K = 64
+    out = (
+        dsir_importance(
+            rd.from_arrow(tbl).repartition(4), "text", "doc_id",
+            "is_target", n_buckets=K,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force with the identical hash
+    toks = [r["text"].split(" ") for r in rows]
+    vocab = sorted({w for ws in toks for w in ws})
+    h = get_kernel().md5_u32(pa.array(vocab)) % np.uint64(K)
+    bucket = dict(zip(vocab, h.astype(int)))
+    n_r = np.zeros(K)
+    n_t = np.zeros(K)
+    for r, ws in zip(rows, toks):
+        for w in ws:
+            n_r[bucket[w]] += 1
+            if r["is_target"]:
+                n_t[bucket[w]] += 1
+    d = np.log((n_t + 1) / (n_t.sum() + K)) - np.log((n_r + 1) / (n_r.sum() + K))
+    expect = np.array(
+        [round_half_away(sum(d[bucket[w]] for w in ws), 6) for ws in toks]
+    )
+    assert (out.n_tokens.to_numpy() == 12).all()
+    np.testing.assert_allclose(out.log_weight.to_numpy(), expect, atol=1e-9)
+    w = out.log_weight.to_numpy()
+    assert w[0::2].min() > w[1::2].max()  # target-domain docs rank above
+
+
 def test_temperature_sample_rates(ray_session):
     import numpy as np
     import pyarrow as pa
