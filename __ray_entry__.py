@@ -1156,6 +1156,18 @@ def q_embedding_dedup_groups(sf_dir: str):
     )
 
 
+def q_minhash_dedup_groups(sf_dir: str):
+    """Dedup: MinHash-LSH near-dup groups end to end (LSH pairs → CC →
+    min-id group per doc). Same signing parameters as minhash_pairs so the
+    committed fixed-seed signature fixture pins the SQL oracle's pairs."""
+    from splink_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5,
+    )
+
+
 def q_canonicalize_transcripts(sf_dir: str):
     """M6: transcripts → entity records (rows-only; derivation not in SQL)."""
     import ray.data as rd
@@ -1620,12 +1632,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "canonicalize_transcripts": q_canonicalize_transcripts,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_docs": q_dsir_docs,
+        "minhash_dedup_groups": q_minhash_dedup_groups,
         # --- beyond the 50-query window: all r4 hash-green ---
+        "canonicalize_transcripts": q_canonicalize_transcripts,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "remove_dup_spans_docs": q_remove_dup_spans,
         "golden_records": q_golden_records,
@@ -2376,6 +2389,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sig b ON b.doc_id = c.id_r AND b.pos = a.pos "
             "GROUP BY c.id_l, c.id_r) "
             "SELECT id_l, id_r FROM est WHERE e >= 0.5"
+        ),
+        "minhash_dedup_groups": (
+            # same fixture-pinned LSH pair CTE as minhash_pairs, then the
+            # transitive closure (recursive CTE) with min-id group labels —
+            # every doc gets a row; singletons are their own group.
+            "WITH RECURSIVE bands AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/minhash_bands_sf001.parquet')), "
+            "sig AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/minhash_sigpos_sf001.parquet')), "
+            "cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r "
+            "FROM bands l JOIN bands r ON l.band_idx = r.band_idx "
+            "AND l.band_val = r.band_val AND l.doc_id < r.doc_id), "
+            "est AS (SELECT c.id_l, c.id_r, "
+            "sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)::DOUBLE / count(*) AS e "
+            "FROM cand c JOIN sig a ON a.doc_id = c.id_l "
+            "JOIN sig b ON b.doc_id = c.id_r AND b.pos = a.pos "
+            "GROUP BY c.id_l, c.id_r), "
+            "p AS (SELECT id_l, id_r FROM est WHERE e >= 0.5), "
+            "edges AS (SELECT id_l AS a, id_r AS b FROM p "
+            "UNION ALL SELECT id_r, id_l FROM p), "
+            "reach(node, rep) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node) "
+            "SELECT node AS doc_id, min(rep) AS dup_group_id "
+            "FROM reach GROUP BY node"
         ),
         "simhash_pairs": (
             # pigeonhole completeness: bands=4 > max_hamming=3, so the

@@ -243,23 +243,24 @@ def minhash_lsh_pairs(
 
 def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8, **kw):
     """Full near-dup pipeline: LSH pairs → connected components → per-id
-    group assignment (min id). Returns Dataset (id, dup_group_id)."""
+    group assignment (min id). Returns Dataset (id, dup_group_id) with the
+    id column's NATIVE dtype preserved (min-id semantics are numeric for
+    numeric ids, matching embedding_dedup_groups)."""
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **kw)
     from ..pipelines.clustering import cluster_pairwise_predictions_at_threshold
 
     def _prep(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "unique_id_l": pc.cast(t["id_l"], pa.string()),
-                "unique_id_r": pc.cast(t["id_r"], pa.string()),
+                "unique_id_l": t["id_l"],
+                "unique_id_r": t["id_r"],
                 "match_probability": pa.array(np.ones(len(t)), pa.float64()),
             }
         )
 
     preds = pairs.map_batches(_prep, batch_format="pyarrow")
     records = ds.map_batches(
-        lambda t: pa.table({"unique_id": pc.cast(t[id_col], pa.string())}),
-        batch_format="pyarrow",
+        lambda t: pa.table({"unique_id": t[id_col]}), batch_format="pyarrow"
     )
     clustered, _ = cluster_pairwise_predictions_at_threshold(records, preds, None)
     return clustered.rename_columns({"unique_id": str(id_col), "cluster_id": "dup_group_id"})
