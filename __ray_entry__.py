@@ -294,6 +294,57 @@ def q_truth_space_customer(sf_dir: str):
     return truth_space_table(scored, labels, uid="c_custkey", collapse_rounded=6)
 
 
+def q_unlinkables_customer(sf_dir: str):
+    """A4 core: per-record best match weight over the blocked+scored pairs
+    (distributed symmetrized groupby-max; the chart's cum_share is
+    tie-order-dependent decoration and is excluded from the oracle)."""
+    from splink_ray.pipelines.evaluation import unlinkables_table
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(pairs, s, concurrency=(1, 4))
+    best = unlinkables_table(scored, uid="c_custkey")[["node", "best_weight"]]
+    return _round(best, {"best_weight": 6})
+
+
+def q_prediction_errors_customer(sf_dir: str):
+    """A3: FP/FN example pairs at threshold 0.5 vs the deterministic
+    synthetic labels used by truth_space_customer."""
+    from splink_ray.pipelines.evaluation import prediction_errors_from_labels_table
+    from splink_ray.stages.blocking import generate_pairs
+    from splink_ray.stages.scoring import score_pairs
+
+    s = _customer_settings()
+    pairs, _ = generate_pairs(
+        _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
+    )
+    scored = score_pairs(pairs, s, concurrency=(1, 4))
+
+    def _lab(t: pa.Table) -> pa.Table:
+        kl = t["c_custkey_l"].to_numpy(zero_copy_only=False)
+        kr = t["c_custkey_r"].to_numpy(zero_copy_only=False)
+        y = ((kl + kr) % 3 == 0).astype(np.float64)
+        return pa.table(
+            {
+                "unique_id_l": t["c_custkey_l"],
+                "unique_id_r": t["c_custkey_r"],
+                "clerical_match_score": pa.array(y, pa.float64()),
+            }
+        )
+
+    labels = pairs.select_columns(["c_custkey_l", "c_custkey_r"]).map_batches(
+        _lab, batch_format="pyarrow"
+    )
+    out = prediction_errors_from_labels_table(
+        scored, labels, threshold=0.5, uid="c_custkey"
+    )
+    return out[["unique_id_l", "unique_id_r", "error_type"]]
+
+
 def q_exploding_pairs(sf_dir: str):
     """B5: exploding blocking rule over a derived token-array column —
     pair set equals the SQL UNNEST self-join with DISTINCT pair dedup."""
@@ -1630,14 +1681,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "em_agreement_patterns": q_em_agreement_patterns,
         "estimate_u_md5": q_estimate_u,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_docs": q_dsir_docs,
         "minhash_dedup_groups": q_minhash_dedup_groups,
-        # --- beyond the 50-query window: all r4 hash-green ---
+        "unlinkables_customer": q_unlinkables_customer,
+        "prediction_errors_customer": q_prediction_errors_customer,
+        # --- beyond the 50-query window: all r4 hash-green (minhash_pairs'
+        # signing logic is re-verified in-window via minhash_dedup_groups) ---
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "canonicalize_transcripts": q_canonicalize_transcripts,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "remove_dup_spans_docs": q_remove_dup_spans,
@@ -2240,6 +2294,28 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {weight} AS w FROM ("
             f"SELECT *, {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
             f"FROM ({pair_sub}))) WHERE pow(2, w) / (1 + pow(2, w)) >= 0.2"
+        ),
+        "unlinkables_customer": (
+            # per-record best weight = max over the symmetrized pair list;
+            # round AFTER the max so ties in rounded space can't flip it
+            "WITH g AS (SELECT c_custkey_l, c_custkey_r, "
+            f"{weight} AS w FROM ("
+            f"SELECT *, {gamma_name} AS gamma_c_name, {gamma_bal} AS gamma_c_acctbal "
+            f"FROM ({pair_sub}))), "
+            "s AS (SELECT c_custkey_l AS node, w FROM g "
+            "UNION ALL SELECT c_custkey_r, w FROM g) "
+            "SELECT node, round(max(w), 6) AS best_weight FROM s GROUP BY node"
+        ),
+        "prediction_errors_customer": (
+            # FP/FN at p >= 0.5 ⇔ w >= 0 (monotone logistic transform)
+            "WITH g AS (SELECT c_custkey_l, c_custkey_r, "
+            f"{weight} AS w, "
+            "CASE WHEN (c_custkey_l + c_custkey_r) % 3 = 0 THEN 1 ELSE 0 END AS y "
+            f"FROM (SELECT *, {gamma_name} AS gamma_c_name, "
+            f"{gamma_bal} AS gamma_c_acctbal FROM ({pair_sub}))) "
+            "SELECT c_custkey_l AS unique_id_l, c_custkey_r AS unique_id_r, "
+            "CASE WHEN w >= 0 THEN 'FP' ELSE 'FN' END AS error_type "
+            "FROM g WHERE (CASE WHEN w >= 0 THEN 1 ELSE 0 END) != y"
         ),
         "em_agreement_patterns": (
             "SELECT gamma_c_name, gamma_c_acctbal, count(*) AS n FROM ("
