@@ -1017,6 +1017,17 @@ def q_unigram_logprob_docs(sf_dir: str):
     )
 
 
+def q_bigram_logprob_docs(sf_dir: str):
+    """Corpus: mean add-α-smoothed bigram log-prob per doc (KenLM-style
+    fluency proxy) — partial-agg bigram counts, broadcast Arrow hash join
+    (hardened shuffle_join fallback above threshold)."""
+    from splink_ray.stages.corpus import bigram_logprob
+
+    return bigram_logprob(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Events: exact count(DISTINCT user) per event type — per-batch local
     dedup, ONE value-keyed exchange of distinct pairs, partial sums."""
@@ -1680,7 +1691,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_distributed": q_clusters_distributed,
         "em_agreement_patterns": q_em_agreement_patterns,
         "estimate_u_md5": q_estimate_u,
-        "exact_dedup_docs": q_exact_dedup_docs,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -1688,8 +1698,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_groups": q_minhash_dedup_groups,
         "unlinkables_customer": q_unlinkables_customer,
         "prediction_errors_customer": q_prediction_errors_customer,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
         # --- beyond the 50-query window: all r4 hash-green (minhash_pairs'
         # signing logic is re-verified in-window via minhash_dedup_groups) ---
+        "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "canonicalize_transcripts": q_canonicalize_transcripts,
@@ -2599,6 +2611,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id AS doc_id, count(*) AS n_tokens, "
             "round(avg(ln(c.n::DOUBLE / tot.t)), 6) AS logprob "
             "FROM toks t, cnt c, tot WHERE t.g = c.g GROUP BY t.doc_id"
+        ),
+        "bigram_logprob_docs": (
+            # add-α bigram LM self-scored on the corpus: c = bigram count,
+            # c1 = left-context count, V = unigram vocab; α = 0.1
+            "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents), "
+            "tok AS (SELECT doc_id, gs.i AS pos, w[gs.i + 1] AS tk FROM toks "
+            "CROSS JOIN LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) gs), "
+            "big AS (SELECT doc_id, tk AS w1, "
+            "lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), "
+            "b2 AS (SELECT doc_id, w1, w1 || ' ' || w2 AS g FROM big "
+            "WHERE w2 IS NOT NULL), "
+            "bc AS (SELECT g, count(*) AS c FROM b2 GROUP BY g), "
+            "lc AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1), "
+            "v AS (SELECT count(DISTINCT tk)::DOUBLE AS v FROM tok) "
+            "SELECT b2.doc_id AS doc_id, count(*) AS n_bigrams, "
+            "round(avg(ln((bc.c + 0.1) / (lc.c1 + 0.1 * (SELECT v FROM v)))), 6) "
+            "AS logprob "
+            "FROM b2 JOIN bc ON b2.g = bc.g JOIN lc ON b2.w1 = lc.w1 "
+            "GROUP BY b2.doc_id"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "

@@ -1049,6 +1049,235 @@ def unigram_logprob(
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _bigram_keys(t: pa.Table, text_col: str):
+    """Per batch: (flat "w1 w2" bigram keys, flat left tokens, per-doc
+    bigram counts int64). Tokens are whitespace-split so the single-space
+    joint key is unambiguous and matches the SQL ``w1 || ' ' || w2``."""
+    flat, ntok = _token_lists(t[text_col])
+    nbig = np.maximum(ntok - 1, 0)
+    if nbig.sum() == 0:
+        e = pa.array([], pa.string())
+        return e, e, nbig
+    seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+    is_last = np.empty(len(seg), bool)
+    is_last[-1] = True
+    is_last[:-1] = seg[1:] != seg[:-1]
+    left_idx = np.flatnonzero(~is_last)
+    li = pa.array(left_idx, pa.int64())
+    ri = pa.array(left_idx + 1, pa.int64())
+    w1 = flat.take(li)
+    big = pc.binary_join_element_wise(w1, flat.take(ri), " ")
+    return big, w1, nbig
+
+
+def bigram_logprob(
+    ds, text_col: str, id_col: str, alpha: float = 0.1,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Mean bigram log-probability per document under an add-α-smoothed
+    bigram LM trained on the corpus itself — the KenLM-style fluency /
+    perplexity proxy one order above :func:`unigram_logprob`:
+
+        score(doc) = mean over adjacent token pairs (w1, w2) of
+                     ln((c(w1 w2) + α) / (c1(w1) + α·V))
+
+    with ``c`` the corpus bigram count, ``c1`` the count of ``w1`` as a
+    bigram left context and ``V`` the corpus unigram vocabulary size.
+    Documents with fewer than two tokens have no bigrams and are dropped.
+    Returns a Dataset ``(id, n_bigrams, logprob)`` (logprob half-away
+    rounded to 6 decimals).
+
+    Scale shape (same as unigram_logprob): bigram counts come from
+    per-batch partial aggregation — raw tokens never shuffle; the
+    vocab²-bounded count table either broadcasts once via ``ray.put``
+    (≤ ``broadcast_threshold`` rows) with per-bigram log-probs precomputed
+    driver-side, or attaches via the hardened sort-exchange
+    ``joins.shuffle_join`` on the bigram key. Self-scoring means every
+    scored bigram exists in the counts table; unseen bigrams (when scoring
+    a different corpus through the same tables) fall back to ln(1/V).
+    Reference: splink has no analogue; semantics follow KenLM-style
+    interpolated-count LMs reduced to one add-α order."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        big, _, _ = _bigram_keys(t, text_col)
+        if len(big) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"g": big})
+            .group_by("g", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["g", "n"])
+
+    def _uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _token_lists(t[text_col])
+        return pa.table({"g": pc.unique(flat)})
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab²-bounded
+    )
+    V = float(
+        ds.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("g")
+        .count()
+        .count()
+    )
+    n_bigrams_total = counts.count()
+    if n_bigrams_total == 0 or V == 0:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: [], "n_bigrams": [], "logprob": []})
+        )
+    unseen_lp = float(np.log(1.0 / V))
+
+    if n_bigrams_total <= broadcast_threshold:
+        cnt_pd = counts.to_pandas()
+        g = cnt_pd["g"].to_numpy()
+        c = cnt_pd["n"].to_numpy(np.float64)
+        w1 = np.array([s.split(" ", 1)[0] for s in g], dtype=object)
+        import pandas as pd
+
+        c1 = pd.Series(c).groupby(pd.Series(w1)).transform("sum").to_numpy()
+        lp_tbl = pa.table(
+            {
+                "g": pa.array(g, pa.string()),
+                "__lp": pa.array(
+                    np.log((c + alpha) / (c1 + alpha * V)), pa.float64()
+                ),
+            }
+        )
+        ref = ray.put(lp_tbl)
+
+        def _score(t: pa.Table) -> pa.Table:
+            big, _, nbig = _bigram_keys(t, text_col)
+            keep = nbig > 0
+            if not keep.any():
+                return pa.table(
+                    {
+                        id_col: pa.array([], t[id_col].type),
+                        "n_bigrams": pa.array([], pa.int64()),
+                        "logprob": pa.array([], pa.float64()),
+                    }
+                )
+            seg = np.repeat(np.arange(len(nbig), dtype=np.int64), nbig)
+            j = pa.table({"g": big, "__seg": seg}).join(
+                ray.get(ref), keys="g", join_type="left outer"
+            )
+            lp = pc.fill_null(j["__lp"], unseen_lp).to_numpy(zero_copy_only=False)
+            sj = j["__seg"].to_numpy(zero_copy_only=False)
+            sums = np.bincount(sj, weights=lp, minlength=len(nbig))
+            mean = sums[keep] / nbig[keep]
+            return pa.table(
+                {
+                    id_col: t[id_col].filter(pa.array(keep)),
+                    "n_bigrams": pa.array(nbig[keep], pa.int64()),
+                    "logprob": pa.array(round_half_away(mean, 6), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    # huge-vocab fallback: two hardened sort-exchange joins (never
+    # Dataset.join — stages/joins.py::shuffle_join)
+    from .joins import _as_schema, shuffle_join
+
+    def _left_tok(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__w1": pa.array([], pa.string()),
+                }
+            )
+        first = pc.list_element(pc.split_pattern(t["g"], " ", max_splits=1), 0)
+        return pa.table({"g": t["g"], "n": t["n"], "__w1": first})
+
+    keyed = counts.map_batches(_left_tok, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _Sum
+
+    c1_ds = keyed.groupby("__w1").aggregate(_Sum("n", alias_name="__c1"))
+
+    def _c1_fix(t: pa.Table) -> pa.Table:
+        if "__c1" not in t.column_names:
+            return pa.table(
+                {"__w1c": pa.array([], pa.string()), "__c1": pa.array([], pa.int64())}
+            )
+        return pa.table({"__w1c": t["__w1"], "__c1": t["__c1"].cast(pa.int64())})
+
+    j1 = shuffle_join(
+        keyed,
+        c1_ds.map_batches(_c1_fix, batch_format="pyarrow"),
+        on="__w1", right_on="__w1c", how="inner",
+        left_schema=pa.schema(
+            [("g", pa.string()), ("n", pa.int64()), ("__w1", pa.string())]
+        ),
+        right_schema=pa.schema([("__w1c", pa.string()), ("__c1", pa.int64())]),
+    )
+
+    def _lp(t: pa.Table) -> pa.Table:
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["__c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "__g": t["g"],
+                "__lp": pa.array(
+                    np.log((c + alpha) / (c1 + alpha * V)), pa.float64()
+                ),
+            }
+        )
+
+    lp_ds = j1.map_batches(_lp, batch_format="pyarrow")
+
+    def _explode(t: pa.Table) -> pa.Table:
+        big, _, nbig = _bigram_keys(t, text_col)
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(nbig), dtype=np.int64), nbig))
+        )
+        return pa.table({id_col: ids, "g": big})
+
+    id_type = _as_schema(ds).field(id_col).type
+    j2 = shuffle_join(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        lp_ds,
+        on="g", right_on="__g", how="inner",
+        left_schema=pa.schema([(id_col, id_type), ("g", pa.string())]),
+        right_schema=pa.schema([("__g", pa.string()), ("__lp", pa.float64())]),
+    )
+    agg = j2.groupby(id_col).aggregate(
+        Sum("__lp", alias_name="__s"), Count(alias_name="n_bigrams")
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if "__s" not in t.column_names:  # schema-less empty agg partition
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        s = t["__s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+                "logprob": pa.array(round_half_away(s / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def dsir_importance(
     ds, text_col: str, id_col: str, target_col: str, n_buckets: int = 1024,
 ):

@@ -374,6 +374,71 @@ def test_unigram_logprob_hand_computed(ray_session):
         assert abs(out["logprob"][1] - round(math.log(1 / 3), 6)) < 1e-9
 
 
+def test_bigram_logprob_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import bigram_logprob
+
+    # corpus: "a b a b" + "b a" -> bigrams: (a b)x2, (b a)x2
+    # c1(a)=2, c1(b)=2, V=3 (a, b, solo), alpha=0.1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "b a", "solo"], pa.string()),
+        }
+    )
+    lp_ab = math.log((2 + 0.1) / (2 + 0.1 * 3))  # V=3: a, b, solo
+    lp_ba = math.log((2 + 0.1) / (2 + 0.1 * 3))
+    for thresh in (10**6, 0):  # broadcast path, then shuffle_join path
+        out = (
+            bigram_logprob(
+                rd.from_arrow(docs), "text", "doc_id", broadcast_threshold=thresh
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 2 has one token -> no bigrams -> dropped
+        assert list(out["doc_id"]) == [0, 1]
+        assert list(out["n_bigrams"]) == [3, 1]
+        exp0 = round((2 * lp_ab + lp_ba) / 3, 6)
+        exp1 = round(lp_ba, 6)
+        assert abs(out["logprob"][0] - exp0) < 1e-6
+        assert abs(out["logprob"][1] - exp1) < 1e-6
+
+
+def test_bigram_logprob_paths_agree(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import bigram_logprob
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 12)).tolist())
+        for _ in range(40)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(5)
+    a = (
+        bigram_logprob(ds, "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        bigram_logprob(ds, "text", "doc_id", broadcast_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_split_sentences_indices_stable(ray_session):
     import ray.data as rd
 
