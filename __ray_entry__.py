@@ -1028,6 +1028,20 @@ def q_bigram_logprob_docs(sf_dir: str):
     )
 
 
+def q_bpe_merges_docs(sf_dir: str):
+    """Corpus: BPE tokenizer training (Sennrich et al. 2016) — distributed
+    word count, driver-side greedy merge loop over the bounded word table.
+    Oracle: committed fixture from the engine-independent reference
+    (tools/make_bpe_fixture.py: DuckDB word counts + dict-formulation BPE);
+    valid at sf0.01."""
+    from splink_ray.stages.bpe import train_bpe
+
+    t = train_bpe(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", num_merges=50
+    )
+    return t.replace_schema_metadata(None)
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Events: exact count(DISTINCT user) per event type — per-batch local
     dedup, ONE value-keyed exchange of distinct pairs, partial sums."""
@@ -1690,7 +1704,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_clusters": q_flagship_clusters,
         "clusters_distributed": q_clusters_distributed,
         "em_agreement_patterns": q_em_agreement_patterns,
-        "estimate_u_md5": q_estimate_u,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -1699,8 +1712,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unlinkables_customer": q_unlinkables_customer,
         "prediction_errors_customer": q_prediction_errors_customer,
         "bigram_logprob_docs": q_bigram_logprob_docs,
+        "bpe_merges_docs": q_bpe_merges_docs,
         # --- beyond the 50-query window: all r4 hash-green (minhash_pairs'
         # signing logic is re-verified in-window via minhash_dedup_groups) ---
+        "estimate_u_md5": q_estimate_u,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2630,6 +2645,13 @@ def oracle_sql() -> dict[str, str]:
             "AS logprob "
             "FROM b2 JOIN bc ON b2.g = bc.g JOIN lc ON b2.w1 = lc.w1 "
             "GROUP BY b2.doc_id"
+        ),
+        "bpe_merges_docs": (
+            # engine-independent committed fixture (tools/make_bpe_fixture.py:
+            # DuckDB word counts + reference dict-formulation BPE). Valid at
+            # sf0.01.
+            'SELECT rank, "left", "right", merged FROM read_parquet('
+            f"'{_FIXTURE_DIR}/bpe_merges_sf001.parquet')"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
