@@ -48,6 +48,22 @@ def ref_bpe(vocab: dict, n: int):
     return out
 
 
+def ref_encode_len(word: str, ranks: dict) -> int:
+    """Standard BPE application: repeatedly merge the lowest-rank adjacent
+    pair until none applies; return the symbol count."""
+    s = list(word) + [END]
+    while len(s) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(s) - 1):
+            rk = ranks.get((s[i], s[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_i, best_rank = i, rk
+        if best_rank is None:
+            break
+        s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+    return len(s)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -68,6 +84,35 @@ def main():
     out = "fixtures/bpe_merges_sf001.parquet"
     pq.write_table(t, out)
     print(f"wrote {out}: {len(t)} merges")
+
+    # per-doc BPE token counts under those merges (reference encoder)
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    docs = duckdb.sql(
+        "SELECT doc_id, str_split(text, ' ') AS w FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    cache: dict[str, int] = {}
+    ids, n_words, n_bpe = [], [], []
+    for doc_id, words in zip(docs["doc_id"], docs["w"]):
+        words = [w for w in words if w]
+        total = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = ref_encode_len(w, ranks)
+            total += cache[w]
+        ids.append(int(doc_id))
+        n_words.append(len(words))
+        n_bpe.append(total)
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        }
+    )
+    out2 = "fixtures/bpe_token_counts_sf001.parquet"
+    pq.write_table(t2, out2)
+    print(f"wrote {out2}: {len(t2)} docs")
 
 
 if __name__ == "__main__":
