@@ -597,3 +597,69 @@ def test_prefix_jaccard_pairs_matches_bruteforce(ray_session):
     assert set(got) == set(expected) and len(expected) >= 20
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-6, k
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4: dictionary-path guards + secure native-kernel cache
+# ---------------------------------------------------------------------------
+
+
+def test_exact_match_duplicate_dictionary_entries_decode():
+    """A caller-supplied DictionaryArray whose dictionary holds DUPLICATE
+    values (legal Arrow) must not take the index-equality fast path: rows
+    encoded with different indices of the same value are still equal."""
+    dic = pa.array(["x", "x", "y"])  # "x" appears twice
+    l = pa.DictionaryArray.from_arrays(pa.array([0, 2], pa.int32()), dic)
+    r = pa.DictionaryArray.from_arrays(pa.array([1, 2], pa.int32()), dic)
+    pairs = pa.table({"col_l": l, "col_r": r})
+    lv = cll.ExactMatchLevel("col")
+    got = lv.evaluate(pairs, cll.EvalContext(use_duckdb=False))
+    # values are [x,y] vs [x,y]: both rows equal (index path would say F,T)
+    assert got.tolist() == [True, True]
+    # and the unique-dictionary fast path still engages for encoded columns
+    enc = pa.table(
+        {"v": pa.array(["a", "b", "a", "c"])}
+    )["v"].combine_chunks().dictionary_encode()
+    assert cll._dict_index_safe(enc.dictionary)
+    assert not cll._dict_index_safe(dic)
+
+
+def test_user_callables_receive_plain_arrays():
+    """DistanceFunctionLevel.distance_function and CustomLevel.predicate are
+    the user-extension seam: they must see decoded columns even when the
+    fused pairgen path dictionary-encodes pair columns."""
+    seen_types = []
+
+    def dist(l, r):
+        seen_types.append((l.type, r.type))
+        return np.ones(len(l))
+
+    def pred(t: pa.Table):
+        assert not any(pa.types.is_dictionary(f.type) for f in t.schema)
+        return np.ones(len(t), bool)
+
+    enc = pa.chunked_array([pa.array(["a", "b"])]).combine_chunks().dictionary_encode()
+    pairs = pa.table({"col_l": enc, "col_r": enc})
+    ctx0 = cll.EvalContext(use_duckdb=False)
+
+    lv = cll.DistanceFunctionLevel("col", distance_function=dist, distance_threshold=0.5)
+    assert lv.evaluate(pairs, ctx0).all()
+    assert all(not pa.types.is_dictionary(t) for pair in seen_types for t in pair)
+
+    cl = cll.CustomLevel(predicate=pred, used_columns=("col",))
+    assert cl.evaluate(pairs, ctx0).all()
+
+
+def test_native_kernel_cache_dir_is_private():
+    """The compiled-kernel cache must live in a user-owned, non-group/other
+    writable directory (never a predictable world-writable /tmp name)."""
+    import os
+
+    from splink_ray import native
+
+    d = native._cache_dir()
+    if d is None:
+        pytest.skip("no securable cache dir on this host")
+    st = os.stat(d)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o022)
