@@ -23,10 +23,11 @@ import numpy as np
 N = 1 << 25  # 32M float64 = 256 MB per array, far beyond LLC
 
 
-def _triad(q, seconds=2.0):
+def _triad(q, barrier, seconds=2.0):
     a = np.ones(N)
     b = np.ones(N)
-    c = np.empty(N)
+    c = np.zeros(N)  # touch c too: this VM's first-touch faults run ~150MB/s
+    barrier.wait()  # no process measures until every process has allocated
     t0 = time.perf_counter()
     reps = 0
     while time.perf_counter() - t0 < seconds:
@@ -41,7 +42,8 @@ def _triad(q, seconds=2.0):
 
 def measure(nproc: int) -> float:
     q = mp.Queue()
-    ps = [mp.Process(target=_triad, args=(q,)) for _ in range(nproc)]
+    barrier = mp.Barrier(nproc)
+    ps = [mp.Process(target=_triad, args=(q, barrier)) for _ in range(nproc)]
     for p in ps:
         p.start()
     total = sum(q.get() for _ in ps)
