@@ -274,6 +274,8 @@ def q_truth_space_customer(sf_dir: str):
     pairs, _ = generate_pairs(
         _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
     )
+    # scored + labels both consume `pairs`: run blocking once, not twice
+    pairs = pairs.materialize()
     scored = score_pairs(pairs, s, concurrency=(1, 4))
 
     def _lab(t: pa.Table) -> pa.Table:
@@ -322,6 +324,9 @@ def q_prediction_errors_customer(sf_dir: str):
     pairs, _ = generate_pairs(
         _ds(sf_dir, "customer"), s, analyze_skew=False, collect_metrics=False
     )
+    # both the scored branch and the labels branch consume `pairs`:
+    # materialize so the blocking pipeline runs once, not once per branch
+    pairs = pairs.materialize()
     scored = score_pairs(pairs, s, concurrency=(1, 4))
 
     def _lab(t: pa.Table) -> pa.Table:

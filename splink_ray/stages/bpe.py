@@ -117,8 +117,19 @@ def train_bpe(
     merge order, plus a ``dropped_words`` count in the table metadata when
     the word table exceeded ``max_vocab`` (the top-``max_vocab`` words by
     (count desc, word asc) are kept — never silently)."""
-    wc = word_counts(ds, text_col)
+    wc = word_counts(ds, text_col).materialize()  # ONE corpus-sized pass
     n_vocab = wc.count()
+    if n_vocab == 0:
+        # empty corpus: the aggregate emits only schema-less empty blocks
+        # (the documented Ray 2.49 hazard) — return an empty merges table
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "left": pa.array([], pa.string()),
+                "right": pa.array([], pa.string()),
+                "merged": pa.array([], pa.string()),
+            }
+        ).replace_schema_metadata({"dropped_words": "0"})
     dropped = 0
     if n_vocab > max_vocab:
         dropped = n_vocab - max_vocab

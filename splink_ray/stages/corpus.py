@@ -1050,14 +1050,13 @@ def unigram_logprob(
 
 
 def _bigram_keys(t: pa.Table, text_col: str):
-    """Per batch: (flat "w1 w2" bigram keys, flat left tokens, per-doc
-    bigram counts int64). Tokens are whitespace-split so the single-space
-    joint key is unambiguous and matches the SQL ``w1 || ' ' || w2``."""
+    """Per batch: (flat "w1 w2" bigram keys, per-doc bigram counts int64).
+    Tokens are whitespace-split so the single-space joint key is
+    unambiguous and matches the SQL ``w1 || ' ' || w2``."""
     flat, ntok = _token_lists(t[text_col])
     nbig = np.maximum(ntok - 1, 0)
     if nbig.sum() == 0:
-        e = pa.array([], pa.string())
-        return e, e, nbig
+        return pa.array([], pa.string()), nbig
     seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
     is_last = np.empty(len(seg), bool)
     is_last[-1] = True
@@ -1065,9 +1064,8 @@ def _bigram_keys(t: pa.Table, text_col: str):
     left_idx = np.flatnonzero(~is_last)
     li = pa.array(left_idx, pa.int64())
     ri = pa.array(left_idx + 1, pa.int64())
-    w1 = flat.take(li)
-    big = pc.binary_join_element_wise(w1, flat.take(ri), " ")
-    return big, w1, nbig
+    big = pc.binary_join_element_wise(flat.take(li), flat.take(ri), " ")
+    return big, nbig
 
 
 def bigram_logprob(
@@ -1101,7 +1099,7 @@ def bigram_logprob(
     from ray.data.aggregate import Count, Sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        big, _, _ = _bigram_keys(t, text_col)
+        big, _ = _bigram_keys(t, text_col)
         if len(big) == 0:
             return pa.table(
                 {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
@@ -1157,7 +1155,7 @@ def bigram_logprob(
         ref = ray.put(lp_tbl)
 
         def _score(t: pa.Table) -> pa.Table:
-            big, _, nbig = _bigram_keys(t, text_col)
+            big, nbig = _bigram_keys(t, text_col)
             keep = nbig > 0
             if not keep.any():
                 return pa.table(
@@ -1238,22 +1236,31 @@ def bigram_logprob(
     lp_ds = j1.map_batches(_lp, batch_format="pyarrow")
 
     def _explode(t: pa.Table) -> pa.Table:
-        big, _, nbig = _bigram_keys(t, text_col)
+        big, nbig = _bigram_keys(t, text_col)
         ids = t[id_col].combine_chunks().take(
             pa.array(np.repeat(np.arange(len(nbig), dtype=np.int64), nbig))
         )
         return pa.table({id_col: ids, "g": big})
 
     id_type = _as_schema(ds).field(id_col).type
+    # left join + fill keeps unseen-bigram semantics identical to the
+    # broadcast path (ln(1/V) floor, n_bigrams counts every bigram)
     j2 = shuffle_join(
         ds.map_batches(_explode, batch_format="pyarrow"),
         lp_ds,
-        on="g", right_on="__g", how="inner",
+        on="g", right_on="__g", how="left_outer",
         left_schema=pa.schema([(id_col, id_type), ("g", pa.string())]),
         right_schema=pa.schema([("__g", pa.string()), ("__lp", pa.float64())]),
     )
-    agg = j2.groupby(id_col).aggregate(
-        Sum("__lp", alias_name="__s"), Count(alias_name="n_bigrams")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("__lp")
+        return t.set_column(i, "__lp", pc.fill_null(t["__lp"], unseen_lp))
+
+    agg = (
+        j2.map_batches(_fill, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("__lp", alias_name="__s"), Count(alias_name="n_bigrams"))
     )
 
     def _finish(t: pa.Table) -> pa.Table:

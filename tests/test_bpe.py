@@ -140,3 +140,17 @@ def test_bpe_encoder_cache_is_per_actor():
     n0 = len(enc.cache)
     enc(t)
     assert len(enc.cache) == n0
+
+
+def test_train_bpe_empty_corpus(ray_session):
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["", ""], pa.string()),
+        }
+    )
+    out = bpe.train_bpe(rd.from_arrow(docs).repartition(2), "text")
+    assert len(out) == 0
+    assert out.column_names == ["rank", "left", "right", "merged"]

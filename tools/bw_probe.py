@@ -35,9 +35,9 @@ def _triad(q, barrier, seconds=2.0):
         c += a
         reps += 1
     dt = time.perf_counter() - t0
-    # triad touches 4 arrays' worth of traffic per rep (read a, read b,
-    # write c twice with the two-op formulation)
-    q.put(reps * 4 * N * 8 / dt / 1e9)
+    # two-op formulation moves 5 full-array passes per rep:
+    # multiply = read b + write c; += is read c + read a + write c
+    q.put(reps * 5 * N * 8 / dt / 1e9)
 
 
 def measure(nproc: int) -> float:
