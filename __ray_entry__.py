@@ -1659,6 +1659,68 @@ def q_golden_records(sf_dir: str):
     )
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy join: every customer-name pair within Levenshtein distance 1 —
+    EXACT recall via the FastSS deletion neighbourhood (one key exchange +
+    one pair-dedup exchange, never the quadratic pair space;
+    stages/fuzzy.py). Oracle: the quadratic DuckDB levenshtein cross
+    join."""
+    from splink_ray.stages.fuzzy import edit_distance_join
+
+    return edit_distance_join(
+        _ds(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_name",
+        "c_custkey",
+        max_dist=1,
+    )
+
+
+def q_ivf_knn_embeddings(sf_dir: str):
+    """ANN IVF searched with nprobe = n_clusters (every cell probed → the
+    result is EXACT top-k): driver-verifies the whole IVF path — seeded
+    sample fit, cell assignment, probe masks, distributed merge — against
+    the brute-force SQL oracle. Approximate recall at nprobe < cells is
+    covered by tests/test_ivf_recall."""
+    from splink_ray.stages.ann import ivf_build, ivf_search
+
+    emb = _ds(sf_dir, "embeddings")
+    head = emb.limit(6).to_pandas().sort_values("vec_id").iloc[3:6]
+    Q = np.asarray(head.embedding.tolist(), np.float64)
+    idx = ivf_build(emb, "embedding", "vec_id", n_clusters=8, seed=42)
+    out = ivf_search(idx, Q, head.vec_id.tolist(), k=7, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_hybrid_search_docs(sf_dir: str):
+    """Hybrid sparse+dense retrieval: BM25 top-20 and cosine-KNN top-20
+    (dense query = embedding of vec_id 0; vec ids share the doc-id key
+    space) fused with Reciprocal Rank Fusion, top-10 by (rrf DESC, id)."""
+    from splink_ray.stages.search import hybrid_rrf_search
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    emb = _ds(sf_dir, "embeddings")
+    qvec = emb.filter(expr="vec_id == 0").to_pandas().embedding.iloc[0]
+    return hybrid_rrf_search(
+        docs, emb, "text", "doc_id", ["hash", "spark", "window"],
+        np.asarray(qvec, np.float64), "embedding", "vec_id",
+        k_each=20, k=10,
+    )
+
+
+def q_simhash_dedup_groups(sf_dir: str):
+    """Dedup: SimHash Hamming-ball groups end to end (pigeonhole-banded
+    pairs → CC → min-id group per doc). Same signer parameters as
+    simhash_pairs so the committed fixed-seed signature fixture pins the
+    SQL oracle's pairs; bands=4 > max_hamming=3 keeps candidate recall
+    complete (pigeonhole), so the closure is exact."""
+    from splink_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        max_hamming=3,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -1675,10 +1737,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dictionary-path guards) re-verifies inside the window; (4) r4-green
     fill; (5) the eight new round-5 operators (semdedup, dsir,
     minhash_dedup_groups, unlinkables, prediction_errors, bigram LM, BPE
-    train + encode), each displacing an r4-green fill re-run. Entries
-    beyond the window are all r4 hash-green; the full 85-query set is
-    re-verified at 32-CPU driver parallelism by tools/check_entry.py
-    (see BASELINE.md round-5 notes)."""
+    train + encode), each displacing an r4-green fill re-run; (6) the
+    second round-5 batch (edit_distance_pairs, ivf_knn_embeddings,
+    hybrid_search_docs, simhash_dedup_groups), each displacing an r3-green
+    rotation re-run (those keep their r3 driver rows). Entries beyond the
+    window are all r3/r4 hash-green; the full 89-query set is re-verified
+    at 32-CPU driver parallelism by tools/check_entry.py (see BASELINE.md
+    round-5 notes)."""
     return {
         # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
@@ -1705,11 +1770,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "clean_corpus_docs": q_clean_corpus_docs,
         "scrub_pii_contacts": q_scrub_pii_contacts,
-        "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
-        "quota_docs": q_quota_docs,
-        "funnel_events": q_funnel_events,
-        "event_transitions": q_event_transitions,
+        # --- new round-5 operators, second batch (each takes a window slot
+        # from an r3-green rotation re-run — those stay ever-green via their
+        # r3 driver rows, while a brand-new query here gets its ONLY row) ---
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "ivf_knn_embeddings": q_ivf_knn_embeddings,
+        "hybrid_search_docs": q_hybrid_search_docs,
+        "simhash_dedup_groups": q_simhash_dedup_groups,
         # --- (3) implementation touched this round: re-verify ---
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
@@ -1736,8 +1804,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "bpe_merges_docs": q_bpe_merges_docs,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
-        # --- beyond the 50-query window: all r4 hash-green (minhash_pairs'
-        # signing logic is re-verified in-window via minhash_dedup_groups) ---
+        # --- beyond the 50-query window: all r3/r4 hash-green (minhash_pairs'
+        # signing logic is re-verified in-window via minhash_dedup_groups;
+        # repetition_docs/quota_docs/funnel_events/event_transitions were
+        # displaced by the second round-5 batch and keep their r3 rows) ---
+        "repetition_docs": q_repetition_docs,
+        "quota_docs": q_quota_docs,
+        "funnel_events": q_funnel_events,
+        "event_transitions": q_event_transitions,
         "estimate_u_md5": q_estimate_u,
         "clusters_distributed": q_clusters_distributed,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2855,4 +2929,74 @@ def oracle_sql() -> dict[str, str]:
         ),
         "flagship_predict": _flagship_predict_sql(),
         "flagship_clusters": _flagship_clusters_sql(),
+        "edit_distance_pairs": (
+            # the quadratic reference the FastSS join must equal exactly:
+            # DuckDB levenshtein is byte-level, same as kernels.levenshtein
+            "SELECT l.c_custkey AS id_l, r.c_custkey AS id_r, "
+            "levenshtein(l.c_name, r.c_name) AS dist "
+            "FROM customer l JOIN customer r ON l.c_custkey < r.c_custkey "
+            "WHERE abs(length(l.c_name) - length(r.c_name)) <= 1 "
+            "AND levenshtein(l.c_name, r.c_name) <= 1"
+        ),
+        "ivf_knn_embeddings": (
+            # nprobe = n_clusters probes every cell, so IVF == brute force;
+            # same round-12 + vec_id tie-break as knn_embeddings
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 3 OFFSET 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS s FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY round(s, 12) DESC, vec_id) AS rank "
+            "FROM scored) SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 7"
+        ),
+        "hybrid_search_docs": (
+            # BM25 CTE chain identical to _bm25_sql (ranks over score rounded
+            # to 6), cosine ranks identical to knn_embeddings (round 12,
+            # vec_id tie-break), RRF c=60 summed sparse-term-first; final
+            # order on the ROUNDED rrf with doc_id tie-break
+            "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+            "ELSE str_split(text, ' ') END AS w FROM documents), "
+            "q(term) AS (VALUES ('hash'), ('spark'), ('window')), "
+            "stats AS (SELECT count(*) AS N, sum(len(w)) AS tot FROM toks), "
+            "tf AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM toks "
+            "CROSS JOIN LATERAL (SELECT unnest(w) AS t) u "
+            "JOIN q ON u.t = q.term GROUP BY doc_id, u.t), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), "
+            "dl AS (SELECT doc_id, len(w) AS dl FROM toks), "
+            "scored AS (SELECT tf.doc_id, sum(ln((N - df + 0.5) / (df + 0.5) + 1.0) "
+            "* tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / "
+            "(tot::DOUBLE / N)))) AS s FROM tf JOIN df USING (term) "
+            "JOIN dl USING (doc_id) CROSS JOIN stats GROUP BY tf.doc_id), "
+            "bm AS (SELECT doc_id, r FROM (SELECT doc_id, row_number() OVER ("
+            "ORDER BY floor(s * 1e6 + 0.5) / 1e6 DESC, doc_id) AS r FROM scored) "
+            "WHERE r <= 20), "
+            "kn AS (SELECT vec_id, r FROM (SELECT e.vec_id, row_number() OVER ("
+            "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(qv.embedding AS DOUBLE[])), 12) DESC, e.vec_id) AS r "
+            "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings "
+            "WHERE vec_id = 0) qv) WHERE r <= 20), "
+            "f AS (SELECT coalesce(bm.doc_id, kn.vec_id) AS doc_id, "
+            "coalesce(1.0 / (60 + bm.r), 0) + coalesce(1.0 / (60 + kn.r), 0) AS rrf "
+            "FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.vec_id) "
+            "SELECT doc_id, floor(rrf * 1e6 + 0.5) / 1e6 AS rrf FROM f "
+            "ORDER BY floor(rrf * 1e6 + 0.5) / 1e6 DESC, doc_id LIMIT 10"
+        ),
+        "simhash_dedup_groups": (
+            # pinned-signature pairs (pigeonhole-complete within hamming 3)
+            # + recursive-CTE transitive closure with min-id labels — the
+            # same closure shape as minhash_dedup_groups. Valid at sf0.01.
+            "WITH RECURSIVE s AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURE_DIR}/simhash_sf001.parquet')), "
+            "p AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r "
+            "FROM s l JOIN s r ON l.doc_id < r.doc_id "
+            "WHERE bit_count(xor(l.simhash, r.simhash)) <= 3), "
+            "edges AS (SELECT id_l AS a, id_r AS b FROM p "
+            "UNION ALL SELECT id_r, id_l FROM p), "
+            "reach(node, rep) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node) "
+            "SELECT node AS doc_id, min(rep) AS dup_group_id "
+            "FROM reach GROUP BY node"
+        ),
     }

@@ -241,12 +241,12 @@ def minhash_lsh_pairs(
     return keyed_map(exploded, "band_key", _bucket_pairs, num_buckets=num_buckets)
 
 
-def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8, **kw):
-    """Full near-dup pipeline: LSH pairs → connected components → per-id
-    group assignment (min id). Returns Dataset (id, dup_group_id) with the
-    id column's NATIVE dtype preserved (min-id semantics are numeric for
-    numeric ids, matching embedding_dedup_groups)."""
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **kw)
+def pairs_to_groups(ds, pairs, id_col: str):
+    """Shared tail of every *_dedup pipeline: candidate/verified pairs →
+    connected components → per-id (id, dup_group_id) with min-id labels and
+    the id column's NATIVE dtype preserved (min-id semantics are numeric for
+    numeric ids, matching embedding_dedup_groups). Every input row gets a
+    group; singletons label themselves."""
     from ..pipelines.clustering import cluster_pairwise_predictions_at_threshold
 
     def _prep(t: pa.Table) -> pa.Table:
@@ -264,6 +264,24 @@ def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8, **kw):
     )
     clustered, _ = cluster_pairwise_predictions_at_threshold(records, preds, None)
     return clustered.rename_columns({"unique_id": str(id_col), "cluster_id": "dup_group_id"})
+
+
+def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8, **kw):
+    """Full near-dup pipeline: LSH pairs → connected components → per-id
+    group assignment (min id)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **kw)
+    return pairs_to_groups(ds, pairs, id_col)
+
+
+def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3, **kw):
+    """SimHash counterpart of :func:`minhash_dedup`: pigeonhole-banded
+    Hamming-ball pairs (:func:`simhash_pairs` — complete within
+    ``max_hamming`` when ``bands > max_hamming``) → connected components →
+    (id, dup_group_id). Oracle: popcount self-join over the pinned
+    signature fixture + recursive-CTE transitive closure
+    (``__ray_entry__`` ``simhash_dedup_groups``)."""
+    pairs = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming, **kw)
+    return pairs_to_groups(ds, pairs.select_columns(["id_l", "id_r"]), id_col)
 
 
 # ---------------------------------------------------------------------------

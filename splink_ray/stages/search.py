@@ -182,3 +182,75 @@ def bm25_search(
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def hybrid_rrf_search(
+    docs_ds,
+    emb_ds,
+    text_col: str,
+    doc_id_col: str,
+    query_terms: list[str],
+    query_vec,
+    vec_col: str,
+    vec_id_col: str,
+    k_each: int = 20,
+    k: int = 10,
+    c: int = 60,
+) -> pa.Table:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher, SIGIR'09: ``rrf(d) = Σ 1/(c + rank_i(d))``
+    over the ranked lists that contain ``d``; c = 60 per the paper).
+
+    Components are the two existing distributed retrievers — BM25 top-k
+    (two streaming corpus passes, per-batch prune) and brute-force cosine
+    top-k (broadcast query, distributed per-query merge); vec ids and doc
+    ids share the key space. The fusion itself touches only the two
+    ``k_each``-row ranked lists — a BOUNDED driver-side merge (the same
+    bounded-aggregate exception the repo's driver-pull audit documents),
+    returned as an Arrow table of (``doc_id_col``, ``rrf``) rounded half-up
+    to 6 decimals, ordered by (rrf DESC, id ASC), top ``k``.
+
+    Determinism: BM25 ranks order by (score₆ DESC, id ASC); cosine ranks
+    come from :func:`..ann.knn_brute_force` (score₁₂ DESC, id ASC); the rrf
+    sum is computed sparse-term-first so the float matches the SQL oracle's
+    ``coalesce(bm,0) + coalesce(kn,0)`` bit-for-bit."""
+    from .ann import knn_brute_force
+
+    bm = bm25_search(
+        docs_ds, text_col, doc_id_col, query_terms, k=k_each
+    ).to_pandas()
+    kn = (
+        knn_brute_force(
+            emb_ds, vec_col, vec_id_col,
+            np.asarray([query_vec], np.float64), [0], k=k_each,
+        )
+        .select_columns([vec_id_col, "rank"])
+        .to_pandas()
+    )
+    # bm25 rank: position under (score DESC, id ASC); scores are already
+    # rounded to 6 decimals so the order is reproducible in SQL
+    order = np.lexsort((bm[doc_id_col].to_numpy(), -bm["score"].to_numpy()))
+    bm_rank = {int(bm[doc_id_col].iloc[i]): r + 1 for r, i in enumerate(order)}
+    kn_rank = {
+        int(i): int(r) for i, r in zip(kn[vec_id_col], kn["rank"])
+    }
+    ids = sorted(set(bm_rank) | set(kn_rank))
+    rrf6 = _round6(
+        np.array(
+            [
+                (1.0 / (c + bm_rank[i]) if i in bm_rank else 0.0)
+                + (1.0 / (c + kn_rank[i]) if i in kn_rank else 0.0)
+                for i in ids
+            ],
+            np.float64,
+        )
+    )
+    # order on the ROUNDED value (matching the oracle's ORDER BY) so the
+    # doc-id tie-break fires identically at the k boundary
+    top = np.lexsort((np.array(ids, np.int64), -rrf6))[:k]
+    return pa.table(
+        {
+            doc_id_col: pa.array([ids[i] for i in top], pa.int64()),
+            "rrf": pa.array(rrf6[top], pa.float64()),
+        }
+    )
