@@ -454,3 +454,87 @@ def group_centroids(ds, vec_col: str, group_col: str):
         )
 
     return merged.map_batches(_finish, batch_format="pyarrow")
+
+
+def embedding_covariance(ds, vec_col: str, decimals: int = 6) -> pa.Table:
+    """Population covariance matrix of an embedding column, upper triangle —
+    the moment computation behind PCA/whitening/drift monitoring on a
+    100-TB vector corpus.
+
+    Pure partial aggregation: each batch reduces to the Gram upper triangle
+    ``XᵀX`` plus column sums and a count — ``d(d+1)/2 + d + 1`` numbers per
+    batch, INDEPENDENT of row count — and one small ``groupby.sum``
+    finishes; raw vectors never shuffle and never reach the driver. The
+    final ``cov = Σxy/n − (Σx/n)(Σy/n)`` map runs on the driver over the
+    bounded d²-sized reduce output (same bounded-pull class as the k-row
+    kmeans reduce above). Returns a pa.Table (dim_i, dim_j, cov) with
+    dim_i <= dim_j, cov half-away-rounded to ``decimals``."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        X = vecs_to_numpy(t[vec_col])
+        n, d = X.shape
+        iu, ju = np.triu_indices(d)
+        gram = X.T @ X
+        return pa.table(
+            {
+                # sentinels: (i, -1) column sums, (-1, -1) row count
+                "i": pa.array(
+                    np.concatenate([iu, np.arange(d), [-1]]), pa.int64()
+                ),
+                "j": pa.array(
+                    np.concatenate([ju, np.full(d, -1), [-1]]), pa.int64()
+                ),
+                "v": pa.array(
+                    np.concatenate([gram[iu, ju], X.sum(axis=0), [float(n)]]),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    n = sx = None
+    sums: dict[int, float] = {}
+    pairs: dict[tuple[int, int], float] = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["v"]
+        else:
+            pairs[(r["i"], r["j"])] = r["v"]
+    if not pairs or not n:
+        return pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "cov": pa.array([], pa.float64()),
+            }
+        )
+    d = max(i for i, _ in sums.items()) + 1
+    sx = np.array([sums[i] for i in range(d)], np.float64)
+    iu, ju = np.triu_indices(d)
+    sxy = np.array([pairs[(i, j)] for i, j in zip(iu, ju)], np.float64)
+    # exact expression order of the SQL oracle: sxy/n - (si/n)*(sj/n)
+    cov = sxy / n - (sx[iu] / n) * (sx[ju] / n)
+    return pa.table(
+        {
+            "dim_i": pa.array(iu, pa.int64()),
+            "dim_j": pa.array(ju, pa.int64()),
+            "cov": pa.array(round_half_away(cov, decimals), pa.float64()),
+        }
+    )

@@ -129,3 +129,51 @@ def distinct_count_per_group(ds, group_col: str, value_col: str, num_buckets=Non
     return partials.groupby(group_col).aggregate(
         Sum("n_distinct", alias_name="n_distinct")
     )
+
+
+def grouped_topk(
+    ds, group_col: str, value_col: str, id_col: str, k: int, num_buckets=None
+):
+    """Top-``k`` rows per group by (``value_col`` DESC, ``id_col`` ASC) —
+    the distributed equivalent of ``row_number() OVER (PARTITION BY g ORDER
+    BY v DESC, id) <= k``.
+
+    Scale shape: every batch first prunes LOCALLY to its own per-group
+    top-k (sort + group-run rank, fully vectorized), so at most
+    ``k × |groups in batch|`` rows reach the single group-keyed exchange;
+    the identical prune inside each bucket then emits the global answer
+    with a ``rank`` column. Raw rows never shuffle. The local prune is
+    lossless: a row outside a batch's local top-k is dominated by k rows
+    that travel with it, so it can never enter the global top-k."""
+    from .exchange import group_starts, keyed_map
+
+    def _prune(t: pa.Table, with_rank: bool) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("rank", pa.array([], pa.int64())) if with_rank else t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                (value_col, "descending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(t)))
+        rank = np.arange(len(t), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        out = t.filter(pa.array(keep))
+        if with_rank:
+            out = out.append_column("rank", pa.array(rank[keep], pa.int64()))
+        return out
+
+    local = ds.select_columns([group_col, value_col, id_col]).map_batches(
+        lambda t: _prune(t, False), batch_format="pyarrow"
+    )
+    return keyed_map(
+        local, group_col, lambda t: _prune(t, True), num_buckets=num_buckets
+    )

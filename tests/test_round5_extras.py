@@ -162,6 +162,70 @@ def test_hybrid_rrf_math(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_topk_matches_window_oracle(ray_session):
+    """Local prune + exchange equals row_number() OVER (PARTITION BY ...),
+    including ties broken by id; lossless under forced tiny batches."""
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 20, n), pa.int64()),  # many ties
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)  # force many small batches
+    got = grouped_topk(ds, "g", "v", "id", k=3).to_pandas()
+    got = got.sort_values(["g", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        "SELECT g, v, id, rank FROM (SELECT g, v, id, row_number() OVER "
+        "(PARTITION BY g ORDER BY v DESC, id) AS rank FROM t) "
+        "WHERE rank <= 3 ORDER BY g, rank"
+    ).df()
+    assert got[["g", "v", "id", "rank"]].to_numpy().tolist() == exp.to_numpy().tolist()
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from splink_ray.kernels import round_half_away
+    from splink_ray.stages.ann import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(97, 6))
+    t = pa.table({"embedding": pa.array(list(X), pa.list_(pa.float64()))})
+    out = (
+        embedding_covariance(rd.from_arrow(t).repartition(7), "embedding")
+        .to_pandas()
+        .sort_values(["dim_i", "dim_j"])
+        .reset_index(drop=True)
+    )
+    C = np.cov(X, rowvar=False, bias=True)  # population covariance
+    iu, ju = np.triu_indices(6)
+    assert len(out) == len(iu)
+    np.testing.assert_allclose(
+        out["cov"].to_numpy(), round_half_away(C[iu, ju], 6), atol=2e-6
+    )
+    # negative covariances survive the half-away rounding path
+    assert (out["cov"].to_numpy() < 0).any()
+
+
+# ---------------------------------------------------------------------------
 # simhash dedup groups
 # ---------------------------------------------------------------------------
 
