@@ -1742,6 +1742,46 @@ def q_embedding_covariance(sf_dir: str):
     return embedding_covariance(_ds(sf_dir, "embeddings", ["embedding"]), "embedding")
 
 
+def q_customer_order_counts(sf_dir: str):
+    """Left-outer distributed join coverage: per-customer order count
+    INCLUDING order-less customers (outer-null fill → 0). Shape: orders
+    pre-aggregate to (custkey, n) partials — only count rows shuffle — then
+    ONE hardened shuffle_join left_outer against the customer scan."""
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.joins import shuffle_join
+
+    cust = _ds(sf_dir, "customer", ["c_custkey"])
+    orders = _ds(sf_dir, "orders", ["o_custkey"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["o_custkey", "n"])
+
+    counts = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    j = shuffle_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left_outer",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]),
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pc.fill_null(t["n"], 0).cast(pa.int64()),
+            }
+        )
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -1787,7 +1827,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_event_stats": q_window_event_stats,
         "last_click_before": q_last_click_before,
         "normalize_docs": q_normalize_docs,
-        "chunk_docs": q_chunk_docs,
         "scrub_pii_contacts": q_scrub_pii_contacts,
         "decontaminate_docs": q_decontaminate_docs,
         # --- new round-5 operators, second batch (each takes a window slot
@@ -1799,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_groups": q_simhash_dedup_groups,
         "top_docs_per_lang": q_top_docs_per_lang,
         "embedding_covariance": q_embedding_covariance,
+        "customer_order_counts": q_customer_order_counts,
         # --- (3) implementation touched this round: re-verify ---
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
@@ -1836,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "top_bigrams": q_top_bigrams,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "chunk_docs": q_chunk_docs,
         "estimate_u_md5": q_estimate_u,
         "clusters_distributed": q_clusters_distributed,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -3006,6 +3047,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.vec_id) "
             "SELECT doc_id, floor(rrf * 1e6 + 0.5) / 1e6 AS rrf FROM f "
             "ORDER BY floor(rrf * 1e6 + 0.5) / 1e6 DESC, doc_id LIMIT 10"
+        ),
+        "customer_order_counts": (
+            "SELECT c_custkey, CAST(coalesce(n, 0) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n "
+            "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"
         ),
         "top_docs_per_lang": (
             "SELECT lang, n_chars, doc_id, rank FROM ("
