@@ -1782,6 +1782,119 @@ def q_customer_order_counts(sf_dir: str):
     return j.map_batches(_fill, batch_format="pyarrow")
 
 
+def q_customers_big_order_semi(sf_dir: str):
+    """Distributed LEFT SEMI join (SQL EXISTS): customers with at least one
+    order above 400k, emitted at most once each. Only the right KEY column
+    crosses the exchange — order values are projected away pre-shuffle."""
+    from splink_ray.stages.joins import shuffle_join
+
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000.0"
+    )
+    return shuffle_join(
+        cust, big, on="c_custkey", right_on="o_custkey", how="left_semi",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]
+        ),
+    )
+
+
+def q_customers_no_big_order_anti(sf_dir: str):
+    """Distributed LEFT ANTI join (SQL NOT EXISTS): customers with NO order
+    above 400k — the decontamination/blocklist join shape over relational
+    keys. Same one-exchange plan as the semi variant."""
+    from splink_ray.stages.joins import shuffle_join
+
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000.0"
+    )
+    return shuffle_join(
+        cust, big, on="c_custkey", right_on="o_custkey", how="left_anti",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]
+        ),
+    )
+
+
+def q_purchase_followup_counts(sf_dir: str):
+    """Interval/range join: every 'purchase' event opens a [ts, ts+1h)
+    window; count the same user's events landing in each window (the
+    session-attribution shape). ONE equi-key exchange + fused vectorized
+    range filter (stages/joins.py::interval_join), then a count rollup."""
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.joins import interval_join
+
+    ev = _ds(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _anchors(t: pa.Table) -> pa.Table:
+        a = t.filter(pc.equal(t["event_type"], "purchase"))
+        start = a["ts"].combine_chunks() if isinstance(
+            a["ts"], pa.ChunkedArray
+        ) else a["ts"]
+        end = pc.add(start, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "a_user": a["user_id"],
+                "anchor_id": a["event_id"],
+                "w_start": start,
+                "w_end": end,
+            }
+        )
+
+    anchors = ev.map_batches(_anchors, batch_format="pyarrow")
+    j = interval_join(
+        ev.select_columns(["user_id", "ts"]),
+        anchors,
+        on="user_id",
+        right_on="a_user",
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema(
+            [
+                ("a_user", pa.int64()),
+                ("anchor_id", pa.int64()),
+                ("w_start", pa.timestamp("us")),
+                ("w_end", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["anchor_id"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["anchor_id", "n_follow"])
+
+    return (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("anchor_id")
+        .aggregate(Sum("n_follow", alias_name="n_follow"))
+    )
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Sampling: Efraimidis–Spirakis weighted reservoir (w = n_chars,
+    n = 150) — longer documents proportionally likelier; deterministic
+    md5-uniform draw, local top-n prune + small global sort."""
+    from splink_ray.stages.sampling import weighted_sample
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", n=150)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -1839,10 +1952,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "embedding_covariance": q_embedding_covariance,
         "customer_order_counts": q_customer_order_counts,
+        # --- new round-5 operators, third batch (semi/anti join modes,
+        # interval join, weighted reservoir sampling); each displaces an
+        # r4-green-and-unchanged re-run (ngram_jaccard_pairs,
+        # prefix_jaccard_pairs, jaccard_against_docs, pmi_collocations →
+        # moved past the window; their r4 rows keep them ever-green) ---
+        "customers_big_order_semi": q_customers_big_order_semi,
+        "customers_no_big_order_anti": q_customers_no_big_order_anti,
+        "purchase_followup_counts": q_purchase_followup_counts,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # --- (3) implementation touched this round: re-verify ---
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-        "jaccard_against_docs": q_jaccard_against_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -1850,7 +1969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
         "dup_spans_docs": q_dup_spans_docs,
-        "pmi_collocations": q_pmi_collocations,
         # --- (4) r4-green fill (flagship + family representatives) ---
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
@@ -1869,7 +1987,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signing logic is re-verified in-window via minhash_dedup_groups;
         # repetition_docs/quota_docs/funnel_events/event_transitions/
         # top_bigrams/clean_corpus_docs were displaced by the second round-5
-        # batch and keep their r3 rows) ---
+        # batch and keep their r3 rows; ngram_jaccard_pairs/
+        # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
+        # displaced by the third batch and keep their r4 rows) ---
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "jaccard_against_docs": q_jaccard_against_docs,
+        "pmi_collocations": q_pmi_collocations,
         "repetition_docs": q_repetition_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
@@ -3052,6 +3176,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, CAST(coalesce(n, 0) AS BIGINT) AS n_orders "
             "FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n "
             "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey"
+        ),
+        "customers_big_order_semi": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"
+        ),
+        "customers_no_big_order_anti": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"
+        ),
+        "purchase_followup_counts": (
+            "SELECT a.event_id AS anchor_id, count(*) AS n_follow "
+            "FROM events a JOIN events e ON e.user_id = a.user_id "
+            "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
+            "WHERE a.event_type = 'purchase' GROUP BY a.event_id"
+        ),
+        "weighted_sample_docs": (
+            # same md5-uniform + pow(u, 1/w) key the engine evaluates (both
+            # sides run DuckDB's pow, so the top-n boundary is bit-exact)
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, "
+            "pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+            " + 0.5) / 4294967296.0, 1.0 / CAST(n_chars AS DOUBLE)) AS k "
+            "FROM documents WHERE n_chars > 0"
+            ") ORDER BY k DESC, doc_id LIMIT 150"
         ),
         "top_docs_per_lang": (
             "SELECT lang, n_chars, doc_id, rank FROM ("

@@ -192,6 +192,25 @@ class DuckKernel:
         self.con.unregister("_keys")
         return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
 
+    def aes_key(self, k, w) -> pa.Array:
+        """Efraimidis–Spirakis reservoir key ``pow(u, 1/w)`` with
+        ``u = (md5_u32(k) + 0.5) / 2^32`` ∈ (0, 1). Evaluated in DuckDB so
+        the double-precision ``pow`` is bit-identical to the SQL oracle by
+        construction (libm ``pow`` may differ by 1 ulp across
+        implementations — enough to flip a top-n boundary)."""
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        tbl = pa.table({"k": k, "w": w})
+        self.con.register("_keys", tbl)
+        out = self.con.execute(
+            "SELECT pow((('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::UBIGINT"
+            " + 0.5) / 4294967296.0, 1.0 / CAST(w AS DOUBLE)) AS v FROM _keys"
+        ).fetch_arrow_table()
+        self.con.unregister("_keys")
+        return out["v"].combine_chunks()
+
     def md5_hex(self, v) -> pa.Array:
         """Vectorized ``md5(v)`` hexdigest (lowercase, identical to
         ``hashlib.md5(...).hexdigest()``) — C++ throughput for the

@@ -124,8 +124,14 @@ def shuffle_join(
     tolerates schema-less blocks by construction — the same pattern
     ``remove_dup_spans`` (stages/corpus.py) adopted for the same reason.
 
-    Semantics match ``Dataset.join`` for equi-joins: ``how`` is ``"inner"``
-    or ``"left_outer"``; duplicate keys produce the cross product per key;
+    Semantics match ``Dataset.join`` for equi-joins: ``how`` is ``"inner"``,
+    ``"left_outer"``, ``"left_semi"`` (left rows with at least one match,
+    emitted at most once — SQL ``EXISTS``) or ``"left_anti"`` (left rows
+    with no match — SQL ``NOT EXISTS``; null-key left rows survive, since
+    null never equals anything). Semi/anti output only the LEFT columns and
+    ship only the right KEY columns through the exchange (right values are
+    projected away before the shuffle). For inner/left_outer, duplicate
+    keys produce the cross product per key;
     null keys never match (left rows with null keys survive a left_outer
     with null right columns). ``on`` / ``right_on`` accept a single column
     name or a sequence for composite keys (multi-key exchanges co-locate on
@@ -143,8 +149,11 @@ def shuffle_join(
     """
     from .exchange import hash_values, keyed_map
 
-    if how not in ("inner", "left_outer"):
-        raise ValueError("how must be 'inner' or 'left_outer'")
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            "how must be 'inner', 'left_outer', 'left_semi' or 'left_anti'"
+        )
+    filtering = how in ("left_semi", "left_anti")
     keys = [on] if isinstance(on, str) else list(on)
     if right_on is None:
         rkeys = list(keys)
@@ -164,7 +173,7 @@ def shuffle_join(
     multi = len(keys) > 1
 
     lval_names = [c for c in ls.names if c not in keys]
-    rval_in = [c for c in rs.names if c not in rkeys]
+    rval_in = [] if filtering else [c for c in rs.names if c not in rkeys]
     rval_out = [
         (c + suffix if (c in lval_names or c in keys) else c) for c in rval_in
     ]
@@ -227,7 +236,12 @@ def shuffle_join(
         + [pa.array([], ty) for ty in rval_types],
         names=out_names,
     )
-    arrow_how = "inner" if how == "inner" else "left outer"
+    arrow_how = {
+        "inner": "inner",
+        "left_outer": "left outer",
+        "left_semi": "left semi",
+        "left_anti": "left anti",
+    }[how]
     rk_tmp = [f"__rk{i}" for i in range(len(keys))]
 
     def _bucket_join(t: pa.Table) -> pa.Table:
@@ -241,8 +255,10 @@ def shuffle_join(
             .rename_columns(rk_tmp + rval_out)
         )
         if len(rt) == 0:
-            if how == "inner":
+            if how in ("inner", "left_semi"):
                 return empty_out
+            if how == "left_anti":
+                return lt.select(out_names)
             return pa.table(
                 [lt[k] for k in keys]
                 + [lt[c] for c in lval_names]
@@ -253,3 +269,66 @@ def shuffle_join(
         return j.select(out_names)
 
     return keyed_map(union, exch_key, _bucket_join, num_buckets=num_buckets)
+
+
+def interval_join(
+    left,
+    right,
+    on,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    right_on=None,
+    closed: str = "left",
+    left_schema=None,
+    right_schema=None,
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+):
+    """Equi-key + time-range join (SQL ``l.key = r.key AND l.ts >= r.start
+    AND l.ts < r.end``) — an operator Ray Data has no native form of.
+
+    Built as ONE :func:`shuffle_join` exchange on the equi-key followed by a
+    fused vectorized range filter, so both sides stream and shuffle volume
+    is the two projected inputs exchanged once. ``closed`` is ``"left"``
+    (``start <= ts < end``), ``"both"`` (``start <= ts <= end``) or
+    ``"neither"`` (strict). Inner semantics: left rows matching no interval
+    are dropped.
+
+    Partitioning assumption (document per the scale brief): the per-key
+    cross product of left rows × right intervals must fit a bucket worker's
+    heap — true when intervals per key are bounded (sessions, campaign
+    windows, order weeks). For keyless/banded range joins, pre-band the
+    timestamp into the key on both sides and dedupe matches downstream.
+    """
+    if closed not in ("left", "both", "neither"):
+        raise ValueError("closed must be 'left', 'both' or 'neither'")
+    ls = _as_schema(left_schema if left_schema is not None else left)
+    rs = _as_schema(right_schema if right_schema is not None else right)
+    if left_ts not in ls.names:
+        raise ValueError(f"left_ts {left_ts!r} not in left schema {ls.names}")
+    for c in (right_start, right_end):
+        if c not in rs.names:
+            raise ValueError(f"{c!r} not in right schema {rs.names}")
+    start_out = right_start + suffix if right_start in ls.names else right_start
+    end_out = right_end + suffix if right_end in ls.names else right_end
+    j = shuffle_join(
+        left,
+        right,
+        on,
+        right_on=right_on,
+        how="inner",
+        left_schema=ls,
+        right_schema=rs,
+        num_buckets=num_buckets,
+        suffix=suffix,
+    )
+    ge = pc.greater_equal if closed in ("left", "both") else pc.greater
+    lt_ = pc.less_equal if closed == "both" else pc.less
+
+    def _range_filter(t: pa.Table) -> pa.Table:
+        ts = t[left_ts]
+        mask = pc.and_kleene(ge(ts, t[start_out]), lt_(ts, t[end_out]))
+        return t.filter(pc.fill_null(mask, False))
+
+    return j.map_batches(_range_filter, batch_format="pyarrow")

@@ -173,3 +173,43 @@ def temperature_sample(
     rate6 = round_half_away(rate, 6)
     rates = dict(zip(names, rate6))
     return stratified_sample(ds, key_col, rates, strata_col, default_rate=0.0)
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, n: int):
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES reservoir scheme (Inf. Proc. Letters 97(5), 2006): each row draws
+    ``k = u^(1/w)`` with ``u`` a deterministic md5-derived uniform in (0,1)
+    and ``w = weight_col``; the sample is the global top-``n`` rows by
+    ``k``. Heavier rows win proportionally more often, and the draw is
+    bit-reproducible at any partitioning because ``u`` comes from the same
+    md5-cut convention as :func:`hash_sample`.
+
+    Distributed shape: a per-batch local top-``n`` prune (zero exchange,
+    streaming) shrinks the candidate set to ≤ n rows per block; one small
+    sort+limit over the pruned remainder picks the winners — at 100 TB the
+    sort input is O(n · num_blocks) rows, never the corpus. The ``pow`` is
+    evaluated through the process-singleton DuckDB kernel so the top-n
+    boundary is bit-identical to the SQL oracle (libm pow differs by ulps
+    across implementations). Rows with null or non-positive weight are
+    excluded (they have zero mass). Ties broken by ``key_col`` ascending.
+    """
+    import pyarrow.compute as pc
+
+    from ..duckdb_kernels import get_kernel
+
+    def _local_topn(t: pa.Table) -> pa.Table:
+        w = t[weight_col]
+        mask = pc.fill_null(pc.greater(w, 0), False)
+        t = t.filter(mask)
+        k = get_kernel().aes_key(t[key_col], t[weight_col])
+        t = t.append_column("__aes", k)
+        if len(t) <= n:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("__aes", "descending"), (key_col, "ascending")]
+        )
+        return t.take(idx.slice(0, n))
+
+    pruned = ds.map_batches(_local_topn, batch_format="pyarrow")
+    out = pruned.sort(["__aes", key_col], descending=[True, False]).limit(n)
+    return out.drop_columns(["__aes"])

@@ -230,3 +230,174 @@ def test_forced_join_paths_survive_high_bucket_counts(ray_session, monkeypatch):
         ds, ref, "text", "doc_id", threshold=0.8, num_perm=32, bands=16
     ).to_pandas()
     assert {1, 4} <= set(cross.doc_id)
+
+
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_shuffle_join_semi_anti(ray_session, how):
+    """Semi/anti semantics: duplicate right keys emit each matching left
+    row at most once (semi); null left keys never match (excluded from
+    semi, KEPT by anti — SQL NOT EXISTS); right value columns never appear
+    in the output; the right side passes through a groupby (schema-less
+    empty blocks) with num_buckets ≫ keys (empty buckets)."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    left = pd.DataFrame(
+        {"k": ["a", "a", "b", "c", None], "x": [1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame({"kk": ["a", "a", "d"], "y": [10.0, 11.0, 12.0]})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = (
+        rd.from_pandas(right)
+        .repartition(6)
+        .groupby("kk")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+    )
+    out = shuffle_join(
+        lds, rds, on="k", right_on="kk", how=how,
+        left_schema=pa.schema([("k", pa.string()), ("x", pa.int64())]),
+        right_schema=pa.schema([("kk", pa.string()), ("y", pa.float64())]),
+        num_buckets=64,
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "x"]
+    matched = left["k"].isin(set(right["kk"]))
+    exp = left[matched] if how == "left_semi" else left[~matched]
+    key = lambda df: df.fillna({"k": "~"}).sort_values(["k", "x"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        key(out)[["k", "x"]], key(exp)[["k", "x"]], check_dtype=False
+    )
+
+
+def test_semi_anti_partition_union_is_left(ray_session):
+    """semi(L, R) ∪ anti(L, R) == L row-for-row, at an empty-bucket-forcing
+    bucket count — no row lost or duplicated by the exchange."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 500), "x": np.arange(500)}
+    )
+    right = pd.DataFrame({"k": rng.integers(25, 75, 100)})
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.int64())])
+    parts = []
+    for how in ("left_semi", "left_anti"):
+        parts.append(
+            shuffle_join(
+                rd.from_pandas(left).repartition(8),
+                rd.from_pandas(right).repartition(8),
+                on="k", how=how, left_schema=ls, right_schema=rs,
+                num_buckets=256,
+            ).to_pandas()
+        )
+    both = pd.concat(parts).sort_values("x").reset_index(drop=True)
+    assert both["x"].tolist() == left["x"].tolist()
+
+
+def test_interval_join_matches_pandas(ray_session):
+    """interval_join vs a pandas cross-merge + range mask, all three
+    ``closed`` modes, with boundary-exact timestamps included."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import interval_join
+
+    ts = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "ts": [
+                ts,
+                ts + pd.Timedelta(minutes=30),
+                ts + pd.Timedelta(hours=1),  # exactly on an end boundary
+                ts,
+                ts + pd.Timedelta(hours=5),
+                ts,
+            ],
+            "eid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "u": [1, 2, 4],
+            "start": [ts, ts, ts],
+            "end": [ts + pd.Timedelta(hours=1)] * 3,
+            "aid": [100, 101, 102],
+        }
+    )
+    ls = pa.schema(
+        [("u", pa.int64()), ("ts", pa.timestamp("ns")), ("eid", pa.int64())]
+    )
+    rs = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("start", pa.timestamp("ns")),
+            ("end", pa.timestamp("ns")),
+            ("aid", pa.int64()),
+        ]
+    )
+    exp_all = left.merge(right, on="u")
+    for closed, lo_ok, hi_ok in [
+        ("left", lambda m: m["ts"] >= m["start"], lambda m: m["ts"] < m["end"]),
+        ("both", lambda m: m["ts"] >= m["start"], lambda m: m["ts"] <= m["end"]),
+        (
+            "neither",
+            lambda m: m["ts"] > m["start"],
+            lambda m: m["ts"] < m["end"],
+        ),
+    ]:
+        out = interval_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(4),
+            on="u", left_ts="ts", right_start="start", right_end="end",
+            closed=closed, left_schema=ls, right_schema=rs, num_buckets=32,
+        ).to_pandas()
+        exp = exp_all[lo_ok(exp_all) & hi_ok(exp_all)]
+        assert sorted(out["eid"].tolist()) == sorted(exp["eid"].tolist()), closed
+        assert sorted(out.columns) == sorted(exp.columns)
+
+
+def test_weighted_sample_partition_invariant_and_biased(ray_session):
+    """weighted_sample: identical winners at any partitioning (1 vs 13
+    blocks), exact n, and heavier rows measurably over-represented vs the
+    population weight share."""
+    import ray.data as rd
+
+    from splink_ray.stages.sampling import weighted_sample
+
+    n_rows = 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n_rows),
+            # 100 heavy rows (w=500) among 1900 light (w=5)
+            "w": np.where(np.arange(n_rows) < 100, 500, 5),
+        }
+    )
+    picks = []
+    for parts in (1, 13):
+        out = weighted_sample(
+            rd.from_pandas(df).repartition(parts), "id", "w", n=200
+        ).to_pandas()
+        assert len(out) == 200
+        picks.append(sorted(out["id"].tolist()))
+    assert picks[0] == picks[1]
+    heavy = sum(1 for i in picks[0] if i < 100)
+    # heavy mass share = 100*500 / (100*500 + 1900*5) ≈ 0.84; uniform would
+    # give 100/2000 = 5% of the sample. Loose gate well above uniform.
+    assert heavy > 40
+
+
+def test_weighted_sample_excludes_nonpositive_weights(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.sampling import weighted_sample
+
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "w": [0, -3, None, 10, 1]}
+    )
+    out = weighted_sample(rd.from_pandas(df), "id", "w", n=5).to_pandas()
+    assert sorted(out["id"].tolist()) == [4, 5]
