@@ -1885,6 +1885,17 @@ def q_purchase_followup_counts(sf_dir: str):
     )
 
 
+def q_percent_rank_docs(sf_dir: str):
+    """Distributed SQL rank()/dense_rank()/percent_rank() over doc length —
+    no row sort: the only exchange carries (value, count) histogram rows
+    (value-domain bounded), cumsum'd once on the driver and attached per
+    batch with a vectorized index_in gather."""
+    from splink_ray.stages.stats import rank_values
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "n_chars"])
+    return rank_values(docs, "n_chars")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Sampling: Efraimidis–Spirakis weighted reservoir (w = n_chars,
     n = 150) — longer documents proportionally likelier; deterministic
@@ -1955,12 +1966,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new round-5 operators, third batch (semi/anti join modes,
         # interval join, weighted reservoir sampling); each displaces an
         # r4-green-and-unchanged re-run (ngram_jaccard_pairs,
-        # prefix_jaccard_pairs, jaccard_against_docs, pmi_collocations →
-        # moved past the window; their r4 rows keep them ever-green) ---
+        # prefix_jaccard_pairs, jaccard_against_docs, pmi_collocations,
+        # dup_spans_docs → moved past the window; their r4 rows keep them
+        # ever-green) ---
         "customers_big_order_semi": q_customers_big_order_semi,
         "customers_no_big_order_anti": q_customers_no_big_order_anti,
         "purchase_followup_counts": q_purchase_followup_counts,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "percent_rank_docs": q_percent_rank_docs,
         # --- (3) implementation touched this round: re-verify ---
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
@@ -1968,7 +1981,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_scores": q_predict_scores,
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
-        "dup_spans_docs": q_dup_spans_docs,
         # --- (4) r4-green fill (flagship + family representatives) ---
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
@@ -1994,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "jaccard_against_docs": q_jaccard_against_docs,
         "pmi_collocations": q_pmi_collocations,
+        "dup_spans_docs": q_dup_spans_docs,
         "repetition_docs": q_repetition_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
@@ -3192,6 +3205,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "WHERE a.event_type = 'purchase' GROUP BY a.event_id"
+        ),
+        "percent_rank_docs": (
+            "SELECT doc_id, n_chars, "
+            "rank() OVER (ORDER BY n_chars) AS rank, "
+            "dense_rank() OVER (ORDER BY n_chars) AS dense_rank, "
+            "round(percent_rank() OVER (ORDER BY n_chars), 6) AS percent_rank "
+            "FROM documents"
         ),
         "weighted_sample_docs": (
             # same md5-uniform + pow(u, 1/w) key the engine evaluates (both

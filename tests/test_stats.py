@@ -147,3 +147,56 @@ def test_docs_above_q90_composition(ray_session):
     pd.testing.assert_frame_equal(
         mine[["doc_id", "lang", "n_chars"]], o, check_dtype=False
     )
+
+
+def test_rank_values_matches_duckdb_window(ray_session):
+    """rank/dense_rank/percent_rank vs DuckDB's window trio, with heavy
+    ties and a null value (null rank, excluded from N), across forced
+    multi-block partitioning."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rank_values
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "v": rng.integers(0, 12, 300).astype("float64"),
+        }
+    )
+    df.loc[7, "v"] = None
+    out = (
+        rank_values(rd.from_pandas(df).repartition(9), "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.query_df(
+        df, "t",
+        "SELECT id, rank() OVER (ORDER BY v) AS rank, "
+        "dense_rank() OVER (ORDER BY v) AS dense_rank, "
+        "round(percent_rank() OVER (ORDER BY v), 6) AS percent_rank "
+        "FROM t WHERE v IS NOT NULL",
+    ).df().sort_values("id").reset_index(drop=True)
+    got = out[out["v"].notna()].reset_index(drop=True)
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    assert got["dense_rank"].tolist() == exp["dense_rank"].tolist()
+    assert got["percent_rank"].tolist() == exp["percent_rank"].tolist()
+    nullrow = out[out["v"].isna()]
+    assert len(nullrow) == 1 and nullrow["rank"].isna().all()
+
+
+def test_rank_values_single_row(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rank_values
+
+    out = rank_values(
+        rd.from_pandas(pd.DataFrame({"id": [1], "v": [42]})), "v"
+    ).to_pandas()
+    assert out["rank"].tolist() == [1]
+    assert out["percent_rank"].tolist() == [0.0]
