@@ -1896,6 +1896,19 @@ def q_percent_rank_docs(sf_dir: str):
     return rank_values(docs, "n_chars")
 
 
+def q_event_trail_per_user(sf_dir: str):
+    """Ordered grouped string_agg: each user's full '>'-joined event-type
+    trail ordered by (ts, event_id) — one group-keyed exchange, in-bucket
+    zero-copy ListArray + C++ binary_join assembly."""
+    from splink_ray.stages.stats import grouped_string_agg
+
+    ev = _ds(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(
+        ev, "user_id", "event_type", ["ts", "event_id"], sep=">",
+        out_col="trail",
+    )
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Sampling: Efraimidis–Spirakis weighted reservoir (w = n_chars,
     n = 150) — longer documents proportionally likelier; deterministic
@@ -1974,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_followup_counts": q_purchase_followup_counts,
         "weighted_sample_docs": q_weighted_sample_docs,
         "percent_rank_docs": q_percent_rank_docs,
+        "event_trail_per_user": q_event_trail_per_user,
         # --- (3) implementation touched this round: re-verify ---
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
@@ -1984,7 +1998,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (4) r4-green fill (flagship + family representatives) ---
         "flagship_predict": q_flagship_predict,
         "flagship_clusters": q_flagship_clusters,
-        "em_agreement_patterns": q_em_agreement_patterns,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -2007,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_against_docs": q_jaccard_against_docs,
         "pmi_collocations": q_pmi_collocations,
         "dup_spans_docs": q_dup_spans_docs,
+        "em_agreement_patterns": q_em_agreement_patterns,
         "repetition_docs": q_repetition_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
@@ -3205,6 +3219,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "WHERE a.event_type = 'purchase' GROUP BY a.event_id"
+        ),
+        "event_trail_per_user": (
+            "SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
         ),
         "percent_rank_docs": (
             "SELECT doc_id, n_chars, "

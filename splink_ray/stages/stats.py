@@ -243,3 +243,83 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
         return t.append_column("percent_rank", pctr.take(idx))
 
     return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds,
+    group_col: str,
+    value_col: str,
+    order_cols,
+    sep: str = "|",
+    out_col: str = "agg",
+    num_buckets=None,
+):
+    """SQL ``string_agg(value, sep ORDER BY order_cols) GROUP BY group`` —
+    the ordered collect-and-join shape (turn sequences, event trails,
+    per-entity provenance strings).
+
+    Scale shape: ONE group-keyed exchange; in-bucket assembly is fully
+    vectorized — sort by (group, *order_cols), group-run offsets, a
+    zero-copy ``ListArray`` view over the sorted values, one C++
+    ``binary_join`` (the same idiom the canonicalizer uses for its concat
+    hash). Null values are skipped per SQL ``string_agg`` semantics;
+    groups whose values are ALL null still emit a row with a null
+    aggregate. Per-group output strings live in one worker — bound the
+    group size upstream (chunk/truncate) for pathological groups."""
+    from .exchange import group_starts, keyed_map
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    out_col: pa.array([], pa.string()),
+                }
+            )
+        val = t[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        all_groups = pc.unique(
+            t[group_col].combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col]
+        )
+        tv = t.filter(pc.is_valid(val))
+        if len(tv) > 0:
+            idx = pc.sort_indices(
+                tv,
+                sort_keys=[(group_col, "ascending")]
+                + [(c, "ascending") for c in order_cols],
+            )
+            tv = tv.take(idx)
+            g = tv[group_col].combine_chunks() if isinstance(
+                tv[group_col], pa.ChunkedArray
+            ) else tv[group_col]
+            starts = group_starts(g)
+            offsets = pa.array(np.append(starts, len(tv)).astype(np.int32))
+            v = tv[value_col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(offsets, v.cast(pa.string())), sep
+            )
+            got_groups = g.take(pa.array(starts))
+        else:
+            joined = pa.array([], pa.string())
+            got_groups = all_groups.slice(0, 0)
+        # groups with rows but zero non-null values → null aggregate
+        miss_mask = pc.invert(pc.is_in(all_groups, value_set=got_groups))
+        missing = all_groups.filter(miss_mask)
+        out_g = pa.concat_arrays(
+            [got_groups.combine_chunks() if isinstance(got_groups, pa.ChunkedArray) else got_groups,
+             missing]
+        )
+        out_v = pa.concat_arrays(
+            [joined, pa.nulls(len(missing), pa.string())]
+        )
+        return pa.table({group_col: out_g, out_col: out_v})
+
+    proj = ds.select_columns([group_col, value_col] + order_cols)
+    return keyed_map(proj, group_col, _bucket, num_buckets=num_buckets)

@@ -200,3 +200,40 @@ def test_rank_values_single_row(ray_session):
     ).to_pandas()
     assert out["rank"].tolist() == [1]
     assert out["percent_rank"].tolist() == [0.0]
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    """Ordered concat vs DuckDB string_agg(... ORDER BY ...), with null
+    values skipped, an all-null group emitting a null aggregate, and
+    multi-block partitioning at an empty-bucket-forcing bucket count."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_string_agg
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 3, 3, 4],
+            "v": ["b", None, "a", "x", "y", None, None, "solo"],
+            "o1": [2, 1, 1, 5, 4, 1, 2, 9],
+            "o2": [0, 0, 1, 0, 0, 0, 0, 0],
+        }
+    )
+    out = (
+        grouped_string_agg(
+            rd.from_pandas(df).repartition(5), "g", "v", ["o1", "o2"],
+            sep="|", num_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.query_df(
+        df, "t",
+        "SELECT g, string_agg(v, '|' ORDER BY o1, o2) AS agg "
+        "FROM t GROUP BY g ORDER BY g",
+    ).df().reset_index(drop=True)
+    assert out["g"].tolist() == exp["g"].tolist()
+    assert out["agg"].where(out["agg"].notna(), None).tolist() == \
+        exp["agg"].where(exp["agg"].notna(), None).tolist()
