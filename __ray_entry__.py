@@ -1938,8 +1938,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     train + encode), each displacing an r4-green fill re-run; (6) the
     second round-5 batch (edit_distance_pairs, ivf_knn_embeddings,
     hybrid_search_docs, simhash_dedup_groups), each displacing an r3-green
-    rotation re-run (those keep their r3 driver rows). Entries beyond the
-    window are all r3/r4 hash-green; the full 89-query set is re-verified
+    rotation re-run (those keep their r3 driver rows); (7) the third batch
+    (semi/anti joins, interval join, weighted/rank/string_agg operators),
+    each displacing an r4-green-and-unchanged re-run. Entries beyond the
+    window are all r3/r4 hash-green; the full 98-query set is re-verified
     at 32-CPU driver parallelism by tools/check_entry.py (see BASELINE.md
     round-5 notes)."""
     return {

@@ -307,9 +307,22 @@ def interval_join(
     rs = _as_schema(right_schema if right_schema is not None else right)
     if left_ts not in ls.names:
         raise ValueError(f"left_ts {left_ts!r} not in left schema {ls.names}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        list(keys)
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
     for c in (right_start, right_end):
         if c not in rs.names:
             raise ValueError(f"{c!r} not in right schema {rs.names}")
+        if c in rkeys:
+            # the equi-join drops right key columns from its output, so the
+            # range filter could never see this column downstream
+            raise ValueError(
+                f"{c!r} is a right join key; interval bounds must be right "
+                "VALUE columns (duplicate the column before joining)"
+            )
     start_out = right_start + suffix if right_start in ls.names else right_start
     end_out = right_end + suffix if right_end in ls.names else right_end
     j = shuffle_join(

@@ -192,55 +192,132 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
     Semantics: rank = 1 + count of strictly-smaller non-null values (ties
     share), dense_rank = index in the sorted distinct values,
     percent_rank = (rank-1)/(N-1) rounded half-away to ``ndigits`` (0.0
-    when N == 1); null values get null ranks and don't count toward N —
-    matching the SQL trio over a null-free column."""
+    when N == 1). Ordering is exactly DuckDB's default ``ORDER BY``:
+    values < NaN < NULL — NaN and NULL are real ranked groups counted
+    toward N (``NULLS LAST``). They ride the exchange as an explicit
+    kind-flag column with the value zeroed, because Ray's distributed
+    groupby silently drops NaN (and sometimes null) keys on 2.49. Note
+    the input lineage executes twice (the histogram pass and the attach
+    pass) — checkpoint/materialize upstream first when it is more than a
+    column-pruned scan."""
     import ray
     from ray.data.aggregate import Sum
 
     from ..kernels import round_half_away
 
+    def _neutral(ty: pa.DataType) -> pa.Scalar:
+        if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            return pa.scalar("", ty)
+        if pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+            return pa.scalar(b"", ty)
+        if pa.types.is_boolean(ty):
+            return pa.scalar(False, ty)
+        return pa.scalar(0, ty)  # numeric / temporal
+
+    def _kinds(v: pa.Array):
+        """kind: 0 = plain value, 1 = NaN, 2 = NULL; v replaced with a
+        typed neutral for 1/2 so every exchange key is non-null non-NaN."""
+        isnull = pc.is_null(v)
+        if pa.types.is_floating(v.type):
+            isnan = pc.and_kleene(pc.is_valid(v), pc.is_nan(v))
+            isnan = pc.fill_null(isnan, False)
+        else:
+            isnan = pa.array(np.zeros(len(v), bool))
+        kind = pc.add(
+            pc.cast(isnan, pa.int8()),
+            pc.multiply(pc.cast(isnull, pa.int8()), pa.scalar(2, pa.int8())),
+        )
+        zero = _neutral(v.type)
+        vz = pc.if_else(pc.or_kleene(isnan, isnull), zero, v)
+        return pc.fill_null(vz, zero), kind
+
     def _partial(t: pa.Table) -> pa.Table:
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
+        vz, kind = _kinds(v)
         g = (
-            pa.table({"v": v.filter(pc.is_valid(v))})
-            .group_by("v", use_threads=False)
+            pa.table({"v": vz, "kind": kind})
+            .group_by(["v", "kind"], use_threads=False)
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["v", "n"])
+        return g.rename_columns(["v", "kind", "n"])
 
     counts = (
         ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("v")
+        .groupby(["v", "kind"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()  # distinct-value-domain sized
     )
-    pdf = counts.to_pandas().dropna(subset=["v"]).sort_values("v")
-    nvals = pdf["n"].to_numpy(np.int64)
-    total = int(nvals.sum())
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in counts.to_arrow_refs()], promote_options="default"
+    )
+    v = tbl["v"].combine_chunks()
+    n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kind = tbl["kind"].to_numpy(zero_copy_only=False).astype(np.int8)
+    nan_total = int(n[kind == 1].sum())
+    null_total = int(n[kind == 2].sum())
+    vk = v.filter(pa.array(kind == 0))
+    order = pc.sort_indices(vk)
+    vk = vk.take(order)
+    nvals = n[kind == 0][order.to_numpy(zero_copy_only=False)]
+    plain_sum = int(nvals.sum())
+    total = plain_sum + nan_total + null_total
     cum = np.concatenate([[0], np.cumsum(nvals)[:-1]])
     rank = cum + 1
+    dense = np.arange(1, len(nvals) + 1, dtype=np.int64)
+    if nan_total:  # one merged NaN entry, after all plain values
+        vk = pa.concat_arrays([vk, pa.array([float("nan")], vk.type)])
+        rank = np.append(rank, plain_sum + 1)
+        dense = np.append(dense, dense[-1] + 1 if len(dense) else 1)
+    # NULLS LAST: one null entry after NaN, applied via is_null fill (a
+    # null probe can't match through index_in)
+    null_entry = None
+    if null_total:
+        null_rank = plain_sum + nan_total + 1
+        null_dense = (dense[-1] + 1) if len(dense) else 1
+        rank = np.append(rank, null_rank)
+        dense = np.append(dense, null_dense)
+        null_entry = True
     pr = (
         (rank - 1) / float(total - 1)
         if total > 1
-        else np.zeros(len(nvals), np.float64)
+        else np.zeros(len(rank), np.float64)
     )
-    lookup_vals = pa.Array.from_pandas(pdf["v"])
-    rank_arr = pa.array(rank, pa.int64())
-    dense_arr = pa.array(np.arange(1, len(nvals) + 1, dtype=np.int64))
-    pr_arr = pa.array(round_half_away(pr, ndigits), pa.float64())
-    ref = ray.put((lookup_vals, rank_arr, dense_arr, pr_arr))
+    pr = round_half_away(pr, ndigits)
+    if null_entry:
+        null_scalars = (int(rank[-1]), int(dense[-1]), float(pr[-1]))
+        rank, dense, pr = rank[:-1], dense[:-1], pr[:-1]
+    else:
+        null_scalars = None
+    ref = ray.put(
+        (
+            vk,
+            pa.array(rank, pa.int64()),
+            pa.array(dense, pa.int64()),
+            pa.array(pr, pa.float64()),
+            null_scalars,
+        )
+    )
 
     def _attach(t: pa.Table) -> pa.Table:
-        vals, rk, dn, pctr = ray.get(ref)
+        vals, rk, dn, pctr, nulls = ray.get(ref)
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         idx = pc.index_in(v.cast(vals.type), vals)
-        t = t.append_column("rank", rk.take(idx))
-        t = t.append_column("dense_rank", dn.take(idx))
-        return t.append_column("percent_rank", pctr.take(idx))
+        cols = [rk.take(idx), dn.take(idx), pctr.take(idx)]
+        if nulls is not None:
+            isnull = pc.is_null(v)
+            fills = [
+                pa.scalar(nulls[0], pa.int64()),
+                pa.scalar(nulls[1], pa.int64()),
+                pa.scalar(nulls[2], pa.float64()),
+            ]
+            cols = [pc.if_else(isnull, f, c) for f, c in zip(fills, cols)]
+        for name, c in zip(("rank", "dense_rank", "percent_rank"), cols):
+            t = t.append_column(name, c)
+        return t
 
     return ds.map_batches(_attach, batch_format="pyarrow")
 
@@ -264,62 +341,96 @@ def grouped_string_agg(
     ``binary_join`` (the same idiom the canonicalizer uses for its concat
     hash). Null values are skipped per SQL ``string_agg`` semantics;
     groups whose values are ALL null still emit a row with a null
-    aggregate. Per-group output strings live in one worker — bound the
-    group size upstream (chunk/truncate) for pathological groups."""
+    aggregate; a NULL group KEY is one group (SQL GROUP BY), handled as an
+    explicit run because run detection can't compare null==null. Offsets
+    are int64 over a LargeListArray, so a bucket may exceed 2³¹ rows.
+    Per-group output strings live in one worker — bound the group size
+    upstream (chunk/truncate) for pathological groups."""
     from .exchange import group_starts, keyed_map
 
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
+    def _join_runs(tv: pa.Table, starts: np.ndarray) -> pa.Array:
+        offsets = pa.array(np.append(starts, len(tv)).astype(np.int64))
+        v = tv[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, v.cast(pa.string())), sep
+        )
+
     def _bucket(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type if t.num_columns else None
         if len(t) == 0:
             return pa.table(
                 {
-                    group_col: pa.array([], t.schema.field(group_col).type),
+                    group_col: pa.array([], gtype),
                     out_col: pa.array([], pa.string()),
                 }
             )
-        val = t[value_col]
-        if isinstance(val, pa.ChunkedArray):
-            val = val.combine_chunks()
-        all_groups = pc.unique(
-            t[group_col].combine_chunks()
-            if isinstance(t[group_col], pa.ChunkedArray)
-            else t[group_col]
-        )
-        tv = t.filter(pc.is_valid(val))
-        if len(tv) > 0:
-            idx = pc.sort_indices(
-                tv,
-                sort_keys=[(group_col, "ascending")]
-                + [(c, "ascending") for c in order_cols],
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        null_g = pc.is_null(gcol)
+        tnull = t.filter(null_g)
+        t = t.filter(pc.invert(null_g))
+        out_g_parts: list = []
+        out_v_parts: list = []
+        if len(t):
+            val = t[value_col]
+            if isinstance(val, pa.ChunkedArray):
+                val = val.combine_chunks()
+            all_groups = pc.unique(
+                t[group_col].combine_chunks()
+                if isinstance(t[group_col], pa.ChunkedArray)
+                else t[group_col]
             )
-            tv = tv.take(idx)
-            g = tv[group_col].combine_chunks() if isinstance(
-                tv[group_col], pa.ChunkedArray
-            ) else tv[group_col]
-            starts = group_starts(g)
-            offsets = pa.array(np.append(starts, len(tv)).astype(np.int32))
-            v = tv[value_col]
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
-            joined = pc.binary_join(
-                pa.ListArray.from_arrays(offsets, v.cast(pa.string())), sep
-            )
-            got_groups = g.take(pa.array(starts))
-        else:
-            joined = pa.array([], pa.string())
-            got_groups = all_groups.slice(0, 0)
-        # groups with rows but zero non-null values → null aggregate
-        miss_mask = pc.invert(pc.is_in(all_groups, value_set=got_groups))
-        missing = all_groups.filter(miss_mask)
-        out_g = pa.concat_arrays(
-            [got_groups.combine_chunks() if isinstance(got_groups, pa.ChunkedArray) else got_groups,
-             missing]
+            tv = t.filter(pc.is_valid(val))
+            if len(tv) > 0:
+                idx = pc.sort_indices(
+                    tv,
+                    sort_keys=[(group_col, "ascending")]
+                    + [(c, "ascending") for c in order_cols],
+                )
+                tv = tv.take(idx)
+                g = tv[group_col].combine_chunks() if isinstance(
+                    tv[group_col], pa.ChunkedArray
+                ) else tv[group_col]
+                starts = group_starts(g)
+                joined = _join_runs(tv, starts)
+                got_groups = g.take(pa.array(starts))
+            else:
+                joined = pa.array([], pa.string())
+                got_groups = all_groups.slice(0, 0)
+            # groups with rows but zero non-null values → null aggregate
+            miss_mask = pc.invert(pc.is_in(all_groups, value_set=got_groups))
+            missing = all_groups.filter(miss_mask)
+            got_groups = got_groups.combine_chunks() if isinstance(
+                got_groups, pa.ChunkedArray
+            ) else got_groups
+            out_g_parts += [got_groups, missing]
+            out_v_parts += [joined, pa.nulls(len(missing), pa.string())]
+        if len(tnull):
+            # the single NULL-key group: one explicit run
+            vn = tnull[value_col]
+            if isinstance(vn, pa.ChunkedArray):
+                vn = vn.combine_chunks()
+            tnv = tnull.filter(pc.is_valid(vn))
+            if len(tnv):
+                idx = pc.sort_indices(
+                    tnv, sort_keys=[(c, "ascending") for c in order_cols]
+                )
+                joined_n = _join_runs(tnv.take(idx), np.array([0], np.int64))
+            else:
+                joined_n = pa.nulls(1, pa.string())
+            out_g_parts.append(pa.nulls(1, gcol.type))
+            out_v_parts.append(joined_n)
+        return pa.table(
+            {
+                group_col: pa.concat_arrays(out_g_parts),
+                out_col: pa.concat_arrays(out_v_parts),
+            }
         )
-        out_v = pa.concat_arrays(
-            [joined, pa.nulls(len(missing), pa.string())]
-        )
-        return pa.table({group_col: out_g, out_col: out_v})
 
     proj = ds.select_columns([group_col, value_col] + order_cols)
     return keyed_map(proj, group_col, _bucket, num_buckets=num_buckets)

@@ -151,8 +151,8 @@ def test_docs_above_q90_composition(ray_session):
 
 def test_rank_values_matches_duckdb_window(ray_session):
     """rank/dense_rank/percent_rank vs DuckDB's window trio, with heavy
-    ties and a null value (null rank, excluded from N), across forced
-    multi-block partitioning."""
+    ties and a null value (NULLS LAST: ranked after everything, counted
+    toward N), across forced multi-block partitioning."""
     import duckdb
     import numpy as np
     import pandas as pd
@@ -179,14 +179,13 @@ def test_rank_values_matches_duckdb_window(ray_session):
         "SELECT id, rank() OVER (ORDER BY v) AS rank, "
         "dense_rank() OVER (ORDER BY v) AS dense_rank, "
         "round(percent_rank() OVER (ORDER BY v), 6) AS percent_rank "
-        "FROM t WHERE v IS NOT NULL",
+        "FROM t",
     ).df().sort_values("id").reset_index(drop=True)
-    got = out[out["v"].notna()].reset_index(drop=True)
-    assert got["rank"].tolist() == exp["rank"].tolist()
-    assert got["dense_rank"].tolist() == exp["dense_rank"].tolist()
-    assert got["percent_rank"].tolist() == exp["percent_rank"].tolist()
-    nullrow = out[out["v"].isna()]
-    assert len(nullrow) == 1 and nullrow["rank"].isna().all()
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert out["dense_rank"].tolist() == exp["dense_rank"].tolist()
+    assert out["percent_rank"].tolist() == exp["percent_rank"].tolist()
+    # the null value ranked LAST (NULLS LAST), counted toward N
+    assert out.loc[out["v"].isna(), "rank"].tolist() == [300]
 
 
 def test_rank_values_single_row(ray_session):
@@ -237,3 +236,70 @@ def test_grouped_string_agg_matches_duckdb(ray_session):
     assert out["g"].tolist() == exp["g"].tolist()
     assert out["agg"].where(out["agg"].notna(), None).tolist() == \
         exp["agg"].where(exp["agg"].notna(), None).tolist()
+
+
+def test_grouped_string_agg_null_group_key(ray_session):
+    """A NULL group key is ONE group (SQL GROUP BY), not per-row runs."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_string_agg
+
+    df = pd.DataFrame(
+        {
+            "g": [None, None, None, "a", None],
+            "v": ["x", "y", None, "q", "z"],
+            "o": [3, 1, 0, 1, 2],
+        }
+    )
+    out = grouped_string_agg(
+        rd.from_pandas(df).repartition(4), "g", "v", ["o"], sep="|",
+        num_buckets=16,
+    ).to_pandas()
+    exp = duckdb.query_df(
+        df, "t",
+        "SELECT g, string_agg(v, '|' ORDER BY o) AS agg FROM t GROUP BY g",
+    ).df()
+    key = lambda d: d.fillna({"g": "~"}).sort_values("g").reset_index(drop=True)
+    got, want = key(out), key(exp)
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["agg"].tolist() == want["agg"].tolist()
+
+
+def test_rank_values_nan_and_null_ranked_last(ray_session):
+    """DuckDB ORDER BY total order: values < NaN < NULL, all ranked and
+    counted toward N. Arrow-origin input so genuine NaN survives (pandas
+    conversion folds NaN into null); NaN partials from different blocks
+    merge to one lookup entry despite Ray's groupby dropping NaN keys."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rank_values
+
+    vals = [float(i % 5) for i in range(30)] + [float("nan")] * 4 + [None] * 3
+    tbl = pa.table(
+        {"id": pa.array(np.arange(37)), "v": pa.array(vals, pa.float64())}
+    )
+    out = (
+        rank_values(rd.from_arrow(tbl).repartition(7), "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(
+        "SELECT id, rank() OVER (ORDER BY v) AS rank, "
+        "dense_rank() OVER (ORDER BY v) AS dense_rank, "
+        "round(percent_rank() OVER (ORDER BY v), 6) AS percent_rank "
+        "FROM t ORDER BY id"
+    ).df().reset_index(drop=True)
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert out["dense_rank"].tolist() == exp["dense_rank"].tolist()
+    assert out["percent_rank"].tolist() == exp["percent_rank"].tolist()
+    # NaN block ranks 31-34 (one shared rank 31), nulls last at 35-37
+    assert out.loc[30:33, "rank"].tolist() == [31] * 4
+    assert out.loc[34:36, "rank"].tolist() == [35] * 3
