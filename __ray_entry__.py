@@ -1909,6 +1909,53 @@ def q_event_trail_per_user(sf_dir: str):
     )
 
 
+def q_image_stats_docs(sf_dir: str):
+    """Multimodal binary-column pipeline with a hash-exact oracle: per doc,
+    a REAL 8x6 P6 PPM payload with closed-form pixels ((doc_id*31 + i*7) %
+    251), decoded by the actor-pool ImageDecoder (pure-numpy codec) into
+    (width, height, mean_pixel, format). The pixel law is SQL-computable,
+    so the decode stage itself is value-verified — the payload synthesis is
+    the fixture generator, not the operator under test."""
+    from splink_ray.functions import codecs
+    from splink_ray.kernels import round_half_away
+    from splink_ray.stages.multimodal import decode_images
+
+    W, H = 8, 6
+
+    def _make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [
+            codecs.encode_ppm(
+                ((int(d) * 31 + np.arange(W * H * 3, dtype=np.int64) * 7) % 251)
+                .astype(np.uint8)
+                .reshape(H, W, 3)
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    imgs = _ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        _make, batch_format="pyarrow"
+    )
+    dec = decode_images(imgs)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        mean = t["mean_pixel"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "mean_pixel": pa.array(round_half_away(mean, 6), pa.float64()),
+                "format": t["format"],
+            }
+        )
+
+    return dec.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Sampling: Efraimidis–Spirakis weighted reservoir (w = n_chars,
     n = 150) — longer documents proportionally likelier; deterministic
@@ -1961,7 +2008,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
         "token_count_docs": q_token_count_docs,
-        "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "window_event_stats": q_window_event_stats,
         "last_click_before": q_last_click_before,
@@ -1990,6 +2036,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "percent_rank_docs": q_percent_rank_docs,
         "event_trail_per_user": q_event_trail_per_user,
+        # multimodal decode finally gets a hash-exact driver row (its slot
+        # comes from quality_docs — r3-green, siblings token_count/langid
+        # from the same functions/text.py family stay in-window)
+        "image_stats_docs": q_image_stats_docs,
         # --- (3) implementation touched this round: re-verify ---
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
@@ -2023,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": q_pmi_collocations,
         "dup_spans_docs": q_dup_spans_docs,
         "em_agreement_patterns": q_em_agreement_patterns,
+        "quality_docs": q_quality_docs,
         "repetition_docs": q_repetition_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
@@ -3221,6 +3272,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "WHERE a.event_type = 'purchase' GROUP BY a.event_id"
+        ),
+        "image_stats_docs": (
+            # the same closed-form pixel law the engine's PPM payloads
+            # encode; avg of exact integers → bit-identical double mean
+            "SELECT d.doc_id, 8 AS width, 6 AS height, "
+            "round(avg((d.doc_id*31 + r.i*7) % 251), 6) AS mean_pixel, "
+            "'ppm' AS format "
+            "FROM documents d CROSS JOIN range(144) AS r(i) GROUP BY d.doc_id"
         ),
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
