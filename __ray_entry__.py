@@ -1956,6 +1956,53 @@ def q_image_stats_docs(sf_dir: str):
     return dec.map_batches(_finish, batch_format="pyarrow")
 
 
+def q_audio_stats_docs(sf_dir: str):
+    """Multimodal audio path with a hash-exact oracle: per doc, a REAL
+    PCM-16 RIFF/WAVE payload with closed-form samples ((doc_id*13 + i*17)
+    % 4001 - 2000, 1200 samples @ 8 kHz), decoded by the actor-pool
+    AudioFeatureExtractor into duration/rms/zero-crossing-rate. rms uses
+    sqrt, which is IEEE-correctly-rounded (unlike pow/log), so the double
+    is bit-identical to the SQL oracle's."""
+    from splink_ray.functions import codecs
+    from splink_ray.kernels import round_half_away
+    from splink_ray.stages.multimodal import extract_audio_features
+
+    N, SR = 1200, 8000
+
+    def _make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = [
+            codecs.encode_wav(
+                (
+                    ((int(d) * 13 + np.arange(N, dtype=np.int64) * 17) % 4001)
+                    - 2000
+                ).astype(np.int16),
+                SR,
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    wavs = _ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        _make, batch_format="pyarrow"
+    )
+    feats = extract_audio_features(wavs)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        for c in ("duration_s", "rms", "zero_crossing_rate"):
+            cols[c] = pa.array(
+                round_half_away(t[c].to_numpy(zero_copy_only=False), 6),
+                pa.float64(),
+            )
+        cols["sample_rate"] = t["sample_rate"]
+        return pa.table(cols)
+
+    return feats.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Sampling: Efraimidis–Spirakis weighted reservoir (w = n_chars,
     n = 150) — longer documents proportionally likelier; deterministic
@@ -2008,7 +2055,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
         "token_count_docs": q_token_count_docs,
-        "langid_docs": q_langid_docs,
         "window_event_stats": q_window_event_stats,
         "last_click_before": q_last_click_before,
         "normalize_docs": q_normalize_docs,
@@ -2040,6 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # comes from quality_docs — r3-green, siblings token_count/langid
         # from the same functions/text.py family stay in-window)
         "image_stats_docs": q_image_stats_docs,
+        # the audio twin (slot from langid_docs — token_count_docs keeps
+        # the functions/text.py family in-window)
+        "audio_stats_docs": q_audio_stats_docs,
         # --- (3) implementation touched this round: re-verify ---
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
@@ -2074,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_docs": q_dup_spans_docs,
         "em_agreement_patterns": q_em_agreement_patterns,
         "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
         "repetition_docs": q_repetition_docs,
         "quota_docs": q_quota_docs,
         "funnel_events": q_funnel_events,
@@ -3280,6 +3330,22 @@ def oracle_sql() -> dict[str, str]:
             "round(avg((d.doc_id*31 + r.i*7) % 251), 6) AS mean_pixel, "
             "'ppm' AS format "
             "FROM documents d CROSS JOIN range(144) AS r(i) GROUP BY d.doc_id"
+        ),
+        "audio_stats_docs": (
+            "WITH s AS ("
+            "SELECT d.doc_id, r.i, "
+            "CAST(((d.doc_id*13 + r.i*17) % 4001) - 2000 AS DOUBLE) AS v "
+            "FROM documents d CROSS JOIN range(1200) AS r(i)"
+            "), lagged AS ("
+            "SELECT doc_id, i, v, "
+            "lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s"
+            ") SELECT doc_id, round(1200.0 / 8000, 6) AS duration_s, "
+            "round(sqrt(avg(v*v)), 6) AS rms, "
+            "round(avg(CASE WHEN pv IS NOT NULL THEN "
+            "CASE WHEN (v<0) != (pv<0) THEN 1.0 ELSE 0.0 END END), 6) "
+            "AS zero_crossing_rate, "
+            "CAST(8000 AS INTEGER) AS sample_rate "
+            "FROM lagged GROUP BY doc_id"
         ),
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
