@@ -2013,6 +2013,84 @@ def q_weighted_sample_docs(sf_dir: str):
     return weighted_sample(docs, "doc_id", "n_chars", n=150)
 
 
+def _orders_cents(sf_dir: str):
+    """Orders projected to integer cents (round-half-away ×100) — shared by
+    the window/rollup queries so their running/grouped sums are EXACT:
+    float aggregation is accumulation-order-dependent and can't hash-match
+    a SQL engine, integer sums are associative."""
+    from splink_ray.kernels import round_half_away
+
+    orders = _ds(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+         "o_orderstatus", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(np.asarray(p, np.float64) * 100.0, 0)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pa.array(cents.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return orders.map_batches(_cents, batch_format="pyarrow")
+
+
+def q_running_revenue(sf_dir: str):
+    """SQL window functions, distributed: per customer in (o_orderdate,
+    o_orderkey) order — running_cents = SUM OVER, prev_cents = LAG,
+    rn = ROW_NUMBER, all from ONE group-keyed exchange + in-bucket
+    segmented cumsum (stages/stats.py::grouped_running)."""
+    from splink_ray.stages.stats import grouped_running
+
+    run = grouped_running(
+        _orders_cents(sf_dir).drop_columns(["o_orderpriority", "o_orderstatus"]),
+        "o_custkey", ["o_orderdate", "o_orderkey"], "cents",
+    )
+    return run.drop_columns(["o_orderdate"])
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) in ONE pass: per-batch partials
+    pre-aggregate every grouping-set level locally (levels × batch group
+    domain tiny rows — row-count independent), one small distributed
+    groupby finishes; grouping_id = the SQL GROUPING() bitmask
+    (stages/stats.py::rollup_aggregate)."""
+    from splink_ray.stages.stats import rollup_aggregate
+
+    return rollup_aggregate(
+        _orders_cents(sf_dir).drop_columns(["o_orderkey", "o_custkey", "o_orderdate"]),
+        ["o_orderpriority", "o_orderstatus"], "cents",
+        count_name="n_orders", sum_name="sum_cents",
+    )
+
+
+def q_token_cosine_pairs(sf_dir: str):
+    """EXACT sparse bag-of-words cosine self-join via a distributed
+    inverted index (stages/dedup.py::token_cosine_pairs): term-keyed
+    exchange (a term's posting list IS its global df — stop-terms above
+    max_df capped, mirrored in the oracle), integer partial dots, one
+    pair-keyed sum, score = dot/(√n2_l·√n2_r) — a pure double function of
+    three integers, so engine and SQL agree bitwise. max_df=600 here: the
+    synthetic docs table has a ~31-term vocabulary where every term's df is
+    near the corpus size, so the production default (100) would gate out
+    the whole vocabulary; the cap still bounds pair volume at
+    max_df·Σdf."""
+    from splink_ray.stages.dedup import token_cosine_pairs
+
+    return token_cosine_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.9, max_df=600,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2089,10 +2167,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the audio twin (slot from langid_docs — token_count_docs keeps
         # the functions/text.py family in-window)
         "audio_stats_docs": q_audio_stats_docs,
+        # --- new round-5 operators, fourth batch (distributed window
+        # functions, ROLLUP grouping sets, sparse inverted-index cosine);
+        # each takes a window slot from an r4-green impl-touched re-run
+        # (unigram_logprob_docs / distinctive_terms_docs / knn_embeddings →
+        # moved just past the window; their r4 rows keep them ever-green and
+        # tools/check_entry.py re-verifies them at driver parallelism) ---
+        "running_revenue": q_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "token_cosine_pairs": q_token_cosine_pairs,
         # --- (3) implementation touched this round: re-verify ---
-        "unigram_logprob_docs": q_unigram_logprob_docs,
-        "distinctive_terms_docs": q_distinctive_terms_docs,
-        "knn_embeddings": q_knn_embeddings,
         "predict_scores": q_predict_scores,
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
@@ -2116,6 +2200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch and keep their r3 rows; ngram_jaccard_pairs/
         # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
         # displaced by the third batch and keep their r4 rows) ---
+        "unigram_logprob_docs": q_unigram_logprob_docs,
+        "distinctive_terms_docs": q_distinctive_terms_docs,
+        "knn_embeddings": q_knn_embeddings,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "jaccard_against_docs": q_jaccard_against_docs,
@@ -3350,6 +3437,51 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "running_revenue": (
+            # integer-cents running sum: associative, so the distributed
+            # segmented cumsum and the SQL window engine agree exactly;
+            # (o_orderdate, o_orderkey) is unique, so RANGE == ROWS
+            "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderkey, o_custkey, cents, "
+            "CAST(SUM(cents) OVER w AS BIGINT) AS running_cents, "
+            "LAG(cents) OVER w AS prev_cents, "
+            "ROW_NUMBER() OVER w AS rn "
+            "FROM c WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "rollup_revenue": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) "
+            "AS grouping_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
+        "token_cosine_pairs": (
+            # integer dot + integer squared norms → the double
+            # dot/(sqrt(n2_l)*sqrt(n2_r)) is bit-identical in both engines;
+            # the df BETWEEN 2 AND 600 gate mirrors the engine's stop-term
+            # cap (df==1 terms can't form a pair)
+            "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+            "nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 "
+            "FROM tf GROUP BY doc_id), "
+            "df AS (SELECT term FROM tf GROUP BY term "
+            "HAVING count(*) BETWEEN 2 AND 600), "
+            "dots AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+            "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot "
+            "FROM tf a JOIN tf b USING (term) JOIN df USING (term) "
+            "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_l, id_r, "
+            "round(dot / (sqrt(nl.n2) * sqrt(nr.n2)), 6) AS cosine "
+            "FROM dots JOIN nrm nl ON nl.doc_id = dots.id_l "
+            "JOIN nrm nr ON nr.doc_id = dots.id_r "
+            "WHERE dot / (sqrt(nl.n2) * sqrt(nr.n2)) >= 0.9"
         ),
         "percent_rank_docs": (
             "SELECT doc_id, n_chars, "

@@ -611,6 +611,162 @@ def ngram_jaccard_pairs(
     return _ngram_jaccard_grouped(ds2, text_col, id_col, threshold, "__g", num_buckets)
 
 
+def token_cosine_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    max_df: int = 100,
+    num_buckets=None,
+):
+    """EXACT sparse-cosine near-dup self-join over whitespace-token COUNT
+    vectors via a distributed inverted index — the classic bag-of-words
+    document-similarity join, complementary to minhash (approximate
+    Jaccard) and embedding_cosine (dense vectors).
+
+    Plan (two exchanges, no all-pairs):
+
+    1. per-batch posting build — each doc's ``(id, term, tf)`` rows plus its
+       squared norm ``n2 = Σ tf²`` (computed locally; a doc never straddles
+       batches), all vectorized through one Arrow ``group_by``;
+    2. ONE term-keyed exchange: a term's full posting list lands in exactly
+       one bucket, so the in-bucket posting length IS the global df. Terms
+       with ``df > max_df`` are skipped (stop-term cap — REQUIRED at scale:
+       emitted partial-pair volume is Σ df², which the cap bounds by
+       ``max_df · Σ df``; the SQL oracle mirrors the cap). Triangle pairs
+       per posting list carry the integer partial dot ``tf_l·tf_r``,
+       locally pre-summed per pair before leaving the bucket;
+    3. a pair-keyed ``groupby().aggregate`` sums partial dots across term
+       buckets (norms ride along via Max — identical on every row);
+    4. ``cosine = dot / (sqrt(n2_l)·sqrt(n2_r))`` — a pure double function
+       of three INTEGERS, so engine and SQL agree bitwise; filtered at
+       ``threshold`` before rounding, exactly like the oracle's WHERE.
+
+    Returns (id_l, id_r, cosine) with id_l < id_r, cosine rounded to 6."""
+    from ray.data.aggregate import Max, Sum
+
+    from .corpus import _token_lists
+    from .joins import _as_schema
+
+    id_type = _as_schema(ds).field(id_col).type
+
+    def _typed_empty() -> pa.Table:
+        return pa.table(
+            {
+                "id_l": pa.array([], id_type),
+                "id_r": pa.array([], id_type),
+                "dot": pa.array([], pa.int64()),
+                "n2_l": pa.array([], pa.int64()),
+                "n2_r": pa.array([], pa.int64()),
+            }
+        )
+
+    def _postings(t: pa.Table) -> pa.Table:
+        flat, ntok = _token_lists(t[text_col])
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), ntok)
+        tf_tbl = (
+            pa.table({"__row": pa.array(seg), "term": flat})
+            .group_by(["__row", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["__row", "term", "tf"])
+        )
+        rows = tf_tbl["__row"].combine_chunks() if isinstance(
+            tf_tbl["__row"], pa.ChunkedArray
+        ) else tf_tbl["__row"]
+        tf = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_np = rows.to_numpy(zero_copy_only=False)
+        n2 = np.bincount(rows_np, weights=tf.astype(np.float64) * tf, minlength=len(t))
+        return pa.table(
+            {
+                id_col: ids.take(rows),
+                "term": tf_tbl["term"],
+                "tf": pa.array(tf, pa.int64()),
+                "n2": pa.array(n2[rows_np].astype(np.int64), pa.int64()),
+            }
+        )
+
+    postings = ds.map_batches(_postings, batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = _typed_empty()
+        if len(t) == 0 or t.num_columns == 0:
+            return empty
+        # df gate: a term's postings are complete in this bucket
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        vc = term.value_counts()
+        dfs = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep_terms = vc.field("values").filter(
+            pa.array((dfs >= 2) & (dfs <= max_df))
+        )
+        t = t.filter(pc.is_in(term, value_set=keep_terms))
+        if len(t) == 0:
+            return empty
+        li, ri, ts = _pairs_in_buckets(t, "term", id_col)
+        if len(li) == 0:
+            return empty
+        ids = ts[id_col]
+        tf = ts["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = ts["n2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = pa.table(
+            {
+                "id_l": ids.take(pa.array(li, pa.int64())),
+                "id_r": ids.take(pa.array(ri, pa.int64())),
+                "dot": pa.array(tf[li] * tf[ri], pa.int64()),
+                "n2_l": pa.array(n2[li], pa.int64()),
+                "n2_r": pa.array(n2[ri], pa.int64()),
+            }
+        )
+        # pre-sum partial dots per pair before the pair exchange
+        g = part.group_by(["id_l", "id_r"], use_threads=False).aggregate(
+            [("dot", "sum"), ("n2_l", "max"), ("n2_r", "max")]
+        )
+        return g.rename_columns(["id_l", "id_r", "dot", "n2_l", "n2_r"])
+
+    partials = keyed_map(postings, "term", _pairs, num_buckets=num_buckets)
+    summed = partials.groupby(["id_l", "id_r"]).aggregate(
+        Sum("dot", alias_name="dot"),
+        Max("n2_l", alias_name="n2_l"),
+        Max("n2_r", alias_name="n2_r"),
+    )
+
+    def _score_empty() -> pa.Table:
+        return pa.table(
+            {
+                "id_l": pa.array([], id_type),
+                "id_r": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+
+    def _score(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "dot" not in t.column_names:
+            # Ray 2.49 hash aggregates can emit schema-less empty blocks
+            return _score_empty()
+        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2l = t["n2_l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2r = t["n2_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = dot / (np.sqrt(n2l.astype(np.float64)) * np.sqrt(n2r.astype(np.float64)))
+        keep = cos >= threshold
+        out = t.filter(pa.array(keep)).select(["id_l", "id_r"])
+        return out.append_column(
+            "cosine", pa.array(round_half_away(cos[keep], 6), pa.float64())
+        )
+
+    import ray.data as rd
+
+    # a typed zero-row seed block keeps the output schema even when the
+    # whole aggregate is empty (an all-empty Ray groupby yields ZERO blocks,
+    # so no map_batches guard can restore the schema)
+    return summed.map_batches(_score, batch_format="pyarrow").union(
+        rd.from_arrow(_score_empty())
+    )
+
+
 def _embedding_cosine_bucketed(ds_keyed, vec_col, id_col, threshold, num_buckets):
     def _bucket(t: pa.Table) -> pa.Table:
         li, ri, ts = _pairs_in_buckets(t, "__g", id_col)

@@ -322,6 +322,171 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def grouped_running(
+    ds,
+    group_col: str,
+    order_cols,
+    value_col: str,
+    num_buckets=None,
+):
+    """SQL windowed running aggregates per group — for every input row:
+
+    - ``running_<v>`` = ``SUM(v) OVER (PARTITION BY g ORDER BY o...)``
+    - ``prev_<v>``    = ``LAG(v)  OVER (PARTITION BY g ORDER BY o...)``
+    - ``rn``          = ``ROW_NUMBER() OVER (same window)``
+
+    the cumulative-spend / previous-event shape. ``(group, *order_cols)``
+    must be unique (so RANGE and ROWS frames coincide) and ``value_col``
+    must be integer-valued — integer cumsum is associative, so the result
+    is EXACT and independent of accumulation order (float running sums are
+    not: the SQL engine's segment-tree accumulation rounds differently
+    than a sequential cumsum). Group keys must be non-null.
+
+    Scale shape: ONE group-keyed exchange (each group's rows co-locate in
+    exactly one bucket); in-bucket everything is vectorized — one sort by
+    ``(group, *order_cols)``, ``group_starts`` run detection, a segmented
+    ``cumsum`` (global cumsum minus the repeated run base), and a shift-by-
+    one gather for LAG with the run heads nulled. Per-group data lives in
+    one bucket: this is the window-function contract (a partition must be
+    assembled somewhere); bound pathological group sizes upstream."""
+    from .exchange import group_starts, keyed_map
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    run_col, prev_col = f"running_{value_col}", f"prev_{value_col}"
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            for name, ty in (
+                (run_col, pa.int64()),
+                (prev_col, pa.int64()),
+                ("rn", pa.int64()),
+            ):
+                t = t.append_column(name, pa.array([], ty))
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(t)))
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(vals)
+        excl = np.concatenate([[0], cum[:-1]])
+        running = cum - np.repeat(excl[starts], lens)
+        rn = np.arange(len(t), dtype=np.int64) - np.repeat(starts, lens) + 1
+        prev = np.empty(len(t), np.int64)
+        prev[1:] = vals[:-1]
+        prev[0] = 0
+        head = np.zeros(len(t), bool)
+        head[starts] = True
+        t = t.append_column(run_col, pa.array(running, pa.int64()))
+        t = t.append_column(prev_col, pa.array(prev, pa.int64(), mask=head))
+        return t.append_column("rn", pa.array(rn, pa.int64()))
+
+    return keyed_map(ds, group_col, _bucket, num_buckets=num_buckets)
+
+
+def rollup_aggregate(
+    ds,
+    keys,
+    value_col: str,
+    count_name: str = "n",
+    sum_name: str = "s",
+    num_buckets=None,
+):
+    """``GROUP BY ROLLUP(*keys)`` — hierarchical grouping sets in ONE pass:
+    one output row per cell of every prefix level ``(k1..kn), (k1..kn-1),
+    …, ()`` with a row count, an integer sum of ``value_col``, and
+    ``grouping_id`` = the SQL ``GROUPING(*keys)`` bitmask (1-bits mark
+    rolled-up keys) so the (k1) total row is never confused with a real
+    ``(k1, NULL)`` cell.
+
+    Scale shape: per-batch partials pre-aggregate EVERY level locally
+    (levels × per-batch group domain tiny rows — row-count independent), so
+    the only exchange is Ray's small ``groupby().aggregate()`` over
+    ``(grouping_id, *keys)``. Rolled-up key slots travel as typed neutral
+    sentinels (Ray 2.49's distributed groupby drops null keys) and become
+    real NULLs in the finish map; ``grouping_id`` disambiguates them, which
+    is also why input key VALUES must be non-null (pre-fill upstream)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from ray.data.aggregate import Sum
+
+    n = len(keys)
+
+    def _neutral(ty: pa.DataType):
+        if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            return pa.scalar("", ty)
+        if pa.types.is_boolean(ty):
+            return pa.scalar(False, ty)
+        return pa.scalar(0, ty)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ktypes = [t.schema.field(k).type for k in keys]
+        parts = []
+        for lvl in range(n, -1, -1):
+            active = keys[:lvl]
+            gid = (1 << (n - lvl)) - 1
+            if active:
+                g = (
+                    t.select(active + [value_col])
+                    .group_by(active, use_threads=False)
+                    .aggregate([(value_col, "sum"), ([], "count_all")])
+                )
+                cols = {k: g[k] for k in active}
+                s = g[f"{value_col}_sum"]
+                c = g["count_all"]
+                m = len(g)
+            else:
+                v = t[value_col]
+                s = pa.array([pc.sum(v).as_py() or 0], pa.int64())
+                c = pa.array([len(t)], pa.int64())
+                cols = {}
+                m = 1
+            for k, ty in zip(keys, ktypes):
+                if k not in cols:
+                    cols[k] = pa.array([_neutral(ty).as_py()] * m, ty)
+            cols["__gid"] = pa.array([gid] * m, pa.int64())
+            cols["__s"] = pc.cast(s, pa.int64())
+            cols["__n"] = pc.cast(c, pa.int64())
+            parts.append(pa.table({k: cols[k] for k in keys + ["__gid", "__s", "__n"]}))
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["__gid"] + keys)
+        .aggregate(Sum("__s", alias_name="__s"), Sum("__n", alias_name="__n"))
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        gid = t["__gid"]
+        if isinstance(gid, pa.ChunkedArray):
+            gid = gid.combine_chunks()
+        gid_np = gid.to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {}
+        for i, k in enumerate(keys):
+            rolled = (gid_np & (1 << (n - 1 - i))) != 0
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[k] = pc.if_else(
+                pa.array(rolled), pa.nulls(len(t), col.type), col
+            )
+        cols["grouping_id"] = gid
+        cols[count_name] = pc.cast(t["__n"], pa.int64())
+        cols[sum_name] = pc.cast(t["__s"], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def grouped_string_agg(
     ds,
     group_col: str,

@@ -1,0 +1,198 @@
+"""Round-5 fourth batch: distributed window functions (grouped_running),
+GROUP BY ROLLUP (rollup_aggregate) and the sparse inverted-index cosine
+join (token_cosine_pairs) — each cross-checked against DuckDB on randomized
+inputs, plus empty-result schema stability."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_grouped_running_matches_duckdb_window(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_running
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 60, n),  # some groups of 1, some of ~100
+            "k": np.arange(n, dtype=np.int64),  # unique order key
+            "v": rng.integers(-50, 500, n),
+        }
+    )
+    out = (
+        grouped_running(rd.from_arrow(t).repartition(7), "g", "k", "v")
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, k, v, "
+        "CAST(SUM(v) OVER w AS BIGINT) AS running_v, "
+        "LAG(v) OVER w AS prev_v, ROW_NUMBER() OVER w AS rn "
+        "FROM t WINDOW w AS (PARTITION BY g ORDER BY k)"
+    ).df()
+    pd.testing.assert_frame_equal(
+        _norm(out), _norm(exp), check_dtype=False
+    )
+
+
+def test_grouped_running_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_running
+
+    rng = np.random.default_rng(8)
+    t = pa.table(
+        {
+            "g": rng.integers(0, 5, 300),
+            "k": rng.permutation(300).astype(np.int64),
+            "v": rng.integers(0, 10, 300),
+        }
+    )
+    a = grouped_running(rd.from_arrow(t).repartition(2), "g", "k", "v",
+                        num_buckets=3).to_pandas()
+    b = grouped_running(rd.from_arrow(t).repartition(11), "g", "k", "v",
+                        num_buckets=17).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_rollup_aggregate_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rollup_aggregate
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = pa.table(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["p", "q"], n),
+            "v": rng.integers(-100, 1000, n),
+        }
+    )
+    out = rollup_aggregate(
+        rd.from_arrow(t).repartition(5), ["a", "b"], "v"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grouping_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s "
+        "FROM t GROUP BY ROLLUP(a, b)"
+    ).df()
+    assert len(out) == len(exp) == 3 * 2 + 3 + 1
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_rollup_single_key_and_int_keys(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rollup_aggregate
+
+    t = pa.table({"a": [1, 1, 2], "v": [10, 20, 5]})
+    out = (
+        rollup_aggregate(rd.from_arrow(t), "a", "v")
+        .to_pandas()
+        .sort_values(["grouping_id", "a"])
+        .reset_index(drop=True)
+    )
+    assert out["s"].tolist() == [30, 5, 35]
+    assert out["grouping_id"].tolist() == [0, 0, 1]
+    assert pd.isna(out["a"].iloc[2])
+
+
+def test_token_cosine_matches_duckdb_and_df_cap(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import token_cosine_pairs
+
+    rng = np.random.default_rng(10)
+    vocab = np.array([f"w{i}" for i in range(12)] + ["the"])  # 'the' = stop
+    docs = []
+    for i in range(80):
+        words = list(rng.choice(vocab[:-1], rng.integers(3, 9)))
+        words += ["the"] * int(rng.integers(1, 4))  # df('the') = 80 > cap
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    t = pa.table({"doc_id": np.arange(80, dtype=np.int64), "text": docs})
+    out = token_cosine_pairs(
+        rd.from_arrow(t).repartition(6), "text", "doc_id",
+        threshold=0.5, max_df=40, num_buckets=9,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+        "nrm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 "
+        "FROM tf GROUP BY doc_id), "
+        "df AS (SELECT term FROM tf GROUP BY term "
+        "HAVING count(*) BETWEEN 2 AND 40), "
+        "dots AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+        "CAST(sum(a.tf*b.tf) AS BIGINT) AS dot "
+        "FROM tf a JOIN tf b USING (term) JOIN df USING (term) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_l, id_r, "
+        "round(dot / (sqrt(nl.n2)*sqrt(nr.n2)), 6) AS cosine FROM dots "
+        "JOIN nrm nl ON nl.doc_id = dots.id_l "
+        "JOIN nrm nr ON nr.doc_id = dots.id_r "
+        "WHERE dot / (sqrt(nl.n2)*sqrt(nr.n2)) >= 0.5"
+    ).df()
+    assert len(exp) > 0  # the cap leaves real pairs behind
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+    # norm must include capped terms ('the' contributes to n2, not to dot):
+    # recompute one pair by hand
+    r0 = exp.iloc[0]
+    tf = con.execute(
+        "SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, "
+        "unnest(str_split(text,' ')) AS term FROM documents) "
+        "WHERE doc_id IN (?, ?) GROUP BY 1,2",
+        [int(r0.id_l), int(r0.id_r)],
+    ).df()
+    import collections
+
+    vl = collections.Counter(
+        dict(tf[tf.doc_id == r0.id_l][["term", "tf"]].values)
+    )
+    vr = collections.Counter(
+        dict(tf[tf.doc_id == r0.id_r][["term", "tf"]].values)
+    )
+    shared = {
+        k: vl[k] * vr[k] for k in set(vl) & set(vr) if k != "the"
+    }
+    n2l = sum(v * v for v in vl.values())
+    n2r = sum(v * v for v in vr.values())
+    manual = sum(shared.values()) / (np.sqrt(n2l) * np.sqrt(n2r))
+    assert abs(manual - r0.cosine) < 1e-6
+
+
+def test_token_cosine_empty_result_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import token_cosine_pairs
+
+    t = pa.table(
+        {"doc_id": np.arange(6, dtype=np.int64),
+         "text": [f"unique{i} only{i}" for i in range(6)]}
+    )
+    ds = token_cosine_pairs(
+        rd.from_arrow(t).repartition(3), "text", "doc_id",
+        threshold=0.5, max_df=10, num_buckets=8,
+    )
+    # Dataset-level schema survives a fully-empty result (the typed seed
+    # block) — what downstream stages consume. (to_pandas() on ANY 0-row
+    # Dataset returns a column-less frame on Ray 2.49, even for
+    # from_arrow(typed_empty) — a conversion quirk, not a pipeline defect.)
+    assert ds.schema().names == ["id_l", "id_r", "cosine"]
+    assert ds.count() == 0
