@@ -2091,6 +2091,84 @@ def q_token_cosine_pairs(sf_dir: str):
     )
 
 
+def q_ntile_docs(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(8) over (n_chars, doc_id) WITHOUT a global
+    row sort (stages/stats.py::global_row_number): a value-domain-bounded
+    histogram gives per-value base offsets; ONE value-keyed exchange
+    resolves the tiebreak locally. The composite key is unique, so the SQL
+    window is deterministic."""
+    from splink_ray.stages.stats import global_row_number
+
+    return global_row_number(
+        _ds(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", n_tiles=8,
+    )
+
+
+def q_mode_event_type(sf_dir: str):
+    """Exact per-user modal event type with deterministic tie-break (max
+    count, then lexicographic) — only (user, type) count partials shuffle
+    (stages/stats.py::grouped_mode)."""
+    from splink_ray.stages.stats import grouped_mode
+
+    return grouped_mode(
+        _ds(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type",
+    )
+
+
+def q_char_entropy_docs(sf_dir: str):
+    """Per-doc Shannon byte entropy (== char entropy on this ASCII corpus):
+    zero-copy Arrow buffer view + one bincount over doc·256+byte builds
+    every histogram at once (functions/text.py::byte_entropy); zero
+    shuffle. Round-6 absorbs SQL-vs-libm log2 ulp noise (same contract as
+    the unigram/bigram/BM25 log oracles)."""
+    from splink_ray.functions.text import byte_entropy
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "entropy": pa.array(
+                    round_half_away(byte_entropy(t["text"]), 6), pa.float64()
+                ),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def q_doc_length_quantiles_cont(sf_dir: str):
+    """quantile_cont/percentile_cont semantics from the SAME distributed
+    histogram as the discrete variant — linear interpolation between two
+    searchsorted rank probes per group; still only histogram rows shuffle
+    (stages/stats.py::grouped_quantiles interpolated=True)."""
+    from splink_ray.stages.stats import grouped_quantiles
+
+    ds = grouped_quantiles(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars", qs=(0.25, 0.5, 0.9), interpolated=True,
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("q25", "q50", "q90"):
+            i = t.column_names.index(c)
+            t = t.set_column(
+                i, c,
+                pa.array(
+                    round_half_away(
+                        t[c].to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            )
+        return t
+
+    return ds.map_batches(_round, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2176,12 +2254,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q_running_revenue,
         "rollup_revenue": q_rollup_revenue,
         "token_cosine_pairs": q_token_cosine_pairs,
-        # --- (3) implementation touched this round: re-verify ---
-        "predict_scores": q_predict_scores,
-        "gamma_customer": q_gamma_customer,
-        "tf_mktsegment": q_tf_mktsegment,
-        # --- (4) r4-green fill (flagship + family representatives) ---
-        "flagship_predict": q_flagship_predict,
+        # --- new round-5 operators, fifth batch (global row_number/NTILE
+        # without a sort, grouped mode, byte entropy, quantile_cont); slots
+        # from r4-green re-runs predict_scores / gamma_customer /
+        # tf_mktsegment / flagship_predict → moved just past the window
+        # (their r4 rows keep them ever-green; flagship_clusters stays
+        # in-window as the flagship representative, and check_entry
+        # re-verifies everything at driver parallelism) ---
+        "ntile_docs": q_ntile_docs,
+        "mode_event_type": q_mode_event_type,
+        "char_entropy_docs": q_char_entropy_docs,
+        "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
+        # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
@@ -2200,6 +2284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch and keep their r3 rows; ngram_jaccard_pairs/
         # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
         # displaced by the third batch and keep their r4 rows) ---
+        "predict_scores": q_predict_scores,
+        "gamma_customer": q_gamma_customer,
+        "tf_mktsegment": q_tf_mktsegment,
+        "flagship_predict": q_flagship_predict,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -3437,6 +3525,35 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "ntile_docs": (
+            "SELECT doc_id, n_chars, "
+            "ROW_NUMBER() OVER w AS rn, NTILE(8) OVER w AS tile "
+            "FROM documents WINDOW w AS (ORDER BY n_chars, doc_id)"
+        ),
+        "mode_event_type": (
+            "SELECT user_id, event_type AS mode, n FROM ("
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rk "
+            "FROM events GROUP BY user_id, event_type) WHERE rk = 1"
+        ),
+        "char_entropy_docs": (
+            # ASCII corpus → char entropy == the engine's byte entropy;
+            # round-6 absorbs log2 libm ulp + summation-order noise
+            "WITH cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ("
+            "SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents"
+            ") GROUP BY doc_id, c), "
+            "n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id) "
+            "SELECT doc_id, round(-sum((k/n) * log2(k/n)), 6) AS entropy "
+            "FROM cc JOIN n USING (doc_id) GROUP BY doc_id"
+        ),
+        "doc_length_quantiles_cont": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "round(quantile_cont(n_chars, 0.25), 6) AS q25, "
+            "round(quantile_cont(n_chars, 0.5), 6) AS q50, "
+            "round(quantile_cont(n_chars, 0.9), 6) AS q90 "
+            "FROM documents GROUP BY lang"
         ),
         "running_revenue": (
             # integer-cents running sum: associative, so the distributed

@@ -23,6 +23,7 @@ def grouped_quantiles(
     value_col: str,
     qs: tuple = (0.25, 0.5, 0.9),
     num_buckets=None,
+    interpolated: bool = False,
 ):
     """Exact per-group discrete quantiles of an integer-valued column.
 
@@ -30,6 +31,14 @@ def grouped_quantiles(
     ``q<percent>`` column per requested quantile, matching DuckDB
     ``quantile_disc`` semantics exactly: the 1-based nearest-rank element
     ``max(1, ceil(q·n))`` of the sorted values.
+
+    ``interpolated=True`` switches to ``quantile_cont``/``percentile_cont``
+    semantics: with ``h = (n-1)·q``, the result is the linear interpolation
+    ``x_k + (x_{k+1} - x_k)·(h - k)`` between the 0-based sorted elements
+    ``k = ⌊h⌋`` and ``k+1`` — still read straight off the merged histogram
+    (two searchsorted rank probes per group), still one tiny exchange. The
+    interpolation arithmetic is plain double ops on exact integers, so it
+    agrees with a SQL engine to ulp noise (round before hash-comparing).
 
     Two stages: per-batch (group, value) partial counts (the ONLY rows that
     shuffle), then one hash exchange on the group; inside a bucket the
@@ -79,15 +88,32 @@ def grouped_quantiles(
             group_col: g.take(pa.array(starts)),
             "n": pa.array(n_per_group, pa.int64()),
         }
-        for q in qs:
-            # nearest-rank: max(1, ceil(q*n)), found per group by one
-            # searchsorted over the within-group cumulative histogram
-            ranks = np.maximum(np.ceil(q * n_per_group), 1).astype(np.int64)
+        ends = np.append(starts[1:], len(t))
+
+        def _rank_positions(ranks: np.ndarray) -> np.ndarray:
             pos = np.empty(len(starts), np.int64)
-            ends = np.append(starts[1:], len(t))
             for i, (s, e, r) in enumerate(zip(starts, ends, ranks)):
                 pos[i] = s + np.searchsorted(cum_in[s:e], r, side="left")
-            cols[f"q{int(round(q * 100))}"] = vals.take(pa.array(pos))
+            return pos
+
+        for q in qs:
+            name = f"q{int(round(q * 100))}"
+            if not interpolated:
+                # nearest-rank: max(1, ceil(q*n)), found per group by one
+                # searchsorted over the within-group cumulative histogram
+                ranks = np.maximum(np.ceil(q * n_per_group), 1).astype(np.int64)
+                cols[name] = vals.take(pa.array(_rank_positions(ranks)))
+            else:
+                h = (n_per_group - 1).astype(np.float64) * q
+                k = np.floor(h).astype(np.int64)
+                f = h - k
+                lo = vals.take(pa.array(_rank_positions(k + 1))).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                hi = vals.take(
+                    pa.array(_rank_positions(np.minimum(k + 2, n_per_group)))
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                cols[name] = pa.array(lo + (hi - lo) * f, pa.float64())
         return pa.table(cols)
 
     return keyed_map(partials, group_col, _quant, num_buckets=num_buckets)
@@ -320,6 +346,154 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
         return t
 
     return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def global_row_number(
+    ds,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int | None = None,
+    num_buckets=None,
+):
+    """SQL ``ROW_NUMBER() OVER (ORDER BY v, tiebreak)`` — and optionally
+    ``NTILE(n) OVER (same)`` — over the whole dataset WITHOUT a global row
+    sort.
+
+    Scale shape (the stats-module premise): a per-batch partial histogram
+    of ``value_col`` is the only full-scan aggregate — (value, count) rows,
+    value-domain bounded — cumsum'd once on the driver into per-value base
+    offsets and broadcast; then ONE value-keyed exchange co-locates all
+    rows of equal value, where the tiebreak is resolved by a local sort
+    (``rn`` = value base + within-value position). Equal-value row counts
+    must fit a bucket (same contract as any window partition). NTILE needs
+    only N and rn, so it costs nothing extra. ``(value, tiebreak)`` must be
+    unique and non-null for a deterministic SQL-matchable answer. The input
+    lineage executes twice (histogram + exchange) — materialize upstream
+    if it is more than a pruned scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([value_col])
+            .group_by([value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["v", "n"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # value-domain sized
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in counts.to_arrow_refs()], promote_options="default"
+    )
+    v = tbl["v"].combine_chunks()
+    order = pc.sort_indices(v)
+    v = v.take(order)
+    n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)[
+        order.to_numpy(zero_copy_only=False)
+    ]
+    bases = np.concatenate([[0], np.cumsum(n)[:-1]])
+    total = int(n.sum())
+    ref = ray.put((v, pa.array(bases, pa.int64())))
+
+    if n_tiles is not None and n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def _attach(t: pa.Table) -> pa.Table:
+        vals, base_arr = ray.get(ref)
+        if len(t) == 0:
+            t = t.append_column("rn", pa.array([], pa.int64()))
+            if n_tiles is not None:
+                t = t.append_column("tile", pa.array([], pa.int64()))
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(value_col, "ascending"), (tiebreak_col, "ascending")],
+        )
+        t = t.take(idx)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        from .exchange import group_starts
+
+        starts = group_starts(col)
+        lens = np.diff(np.append(starts, len(t)))
+        pos = np.arange(len(t), dtype=np.int64) - np.repeat(starts, lens)
+        vb = base_arr.take(pc.index_in(col, vals)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rn = vb + pos + 1
+        t = t.append_column("rn", pa.array(rn, pa.int64()))
+        if n_tiles is not None:
+            q, r = divmod(total, n_tiles)
+            cut = r * (q + 1)
+            zero = rn - 1
+            tile = np.where(
+                zero < cut,
+                zero // (q + 1),
+                r + (zero - cut) // max(q, 1),
+            ) + 1
+            t = t.append_column("tile", pa.array(tile, pa.int64()))
+        return t
+
+    from .exchange import keyed_map
+
+    return keyed_map(ds, value_col, _attach, num_buckets=num_buckets)
+
+
+def grouped_mode(ds, group_col: str, value_col: str, num_buckets=None):
+    """Exact per-group mode with a deterministic tie-break (max count,
+    then smallest value) — SQL ``row_number() OVER (PARTITION BY g ORDER BY
+    count(*) DESC, v) = 1`` over the grouped counts.
+
+    Scale shape: per-batch (group, value) partial counts are the ONLY rows
+    that shuffle (group × value domain, row-count independent); ONE
+    group-keyed exchange merges them and a vectorized argmax-per-run picks
+    the winner. Returns (group_col, mode, n)."""
+    from .exchange import group_starts, keyed_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "c"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _pick(t: pa.Table) -> pa.Table:
+        t = (
+            t.group_by([group_col, value_col], use_threads=False)
+            .aggregate([("c", "sum")])
+            .rename_columns([group_col, value_col, "c"])
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                ("c", "descending"),
+                (value_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = pa.array(group_starts(g))
+        return pa.table(
+            {
+                group_col: g.take(starts),
+                "mode": t[value_col].take(starts),
+                "n": pc.cast(t["c"].take(starts), pa.int64()),
+            }
+        )
+
+    return keyed_map(partials, group_col, _pick, num_buckets=num_buckets)
 
 
 def grouped_running(

@@ -196,3 +196,125 @@ def test_token_cosine_empty_result_keeps_schema(ray_session):
     # from_arrow(typed_empty) — a conversion quirk, not a pipeline defect.)
     assert ds.schema().names == ["id_l", "id_r", "cosine"]
     assert ds.count() == 0
+
+
+def test_global_row_number_and_ntile_match_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import global_row_number
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    t = pa.table(
+        {
+            "v": rng.integers(0, 25, n),  # heavy ties
+            "id": rng.permutation(n).astype(np.int64),  # unique tiebreak
+        }
+    )
+    out = global_row_number(
+        rd.from_arrow(t).repartition(6), "v", "id", n_tiles=7, num_buckets=11
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT v, id, ROW_NUMBER() OVER w AS rn, NTILE(7) OVER w AS tile "
+        "FROM t WINDOW w AS (ORDER BY v, id)"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_global_row_number_more_tiles_than_rows(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import global_row_number
+
+    t = pa.table({"v": [3, 1, 2], "id": [0, 1, 2]})
+    out = (
+        global_row_number(rd.from_arrow(t), "v", "id", n_tiles=10)
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == [1, 2, 3]
+    assert out["tile"].tolist() == [1, 2, 3]  # each row its own tile
+
+
+def test_grouped_mode_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_mode
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 40, n),
+            "v": rng.choice(["a", "b", "c", "d"], n),  # frequent count ties
+        }
+    )
+    out = grouped_mode(
+        rd.from_arrow(t).repartition(8), "g", "v", num_buckets=9
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, v AS mode, n FROM (SELECT g, v, "
+        "CAST(count(*) AS BIGINT) AS n, row_number() OVER ("
+        "PARTITION BY g ORDER BY count(*) DESC, v) AS rk "
+        "FROM t GROUP BY g, v) WHERE rk = 1"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_byte_entropy_reference_and_slices():
+    import collections
+    import math
+
+    from splink_ray.functions.text import byte_entropy
+
+    texts = ["aaaa", "abab", "", "héllo wörld", "the quick brown fox", None]
+    arr = pa.array(texts, pa.string())
+
+    def ref(s):
+        if not s:
+            return 0.0
+        bs = s.encode("utf-8")
+        c = collections.Counter(bs)
+        n = len(bs)
+        return -sum((k / n) * math.log2(k / n) for k in c.values())
+
+    got = byte_entropy(arr)
+    exp = np.array([ref(s) for s in texts])
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+    # sliced (offset != 0) arrays must view the right buffer region
+    np.testing.assert_allclose(byte_entropy(arr.slice(2, 3)), exp[2:5],
+                               atol=1e-12)
+
+
+def test_grouped_quantiles_interpolated_matches_quantile_cont(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_quantiles
+
+    rng = np.random.default_rng(14)
+    n = 4000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c", "one"], n, p=[0.5, 0.3, 0.199, 0.001]),
+            "v": rng.integers(0, 37, n),
+        }
+    )
+    out = grouped_quantiles(
+        rd.from_arrow(t).repartition(6), "g", "v",
+        qs=(0.0, 0.25, 0.5, 0.9, 1.0), interpolated=True,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, count(*) AS n, quantile_cont(v, 0.0) AS q0, "
+        "quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50, "
+        "quantile_cont(v, 0.9) AS q90, quantile_cont(v, 1.0) AS q100 "
+        "FROM t GROUP BY g"
+    ).df()
+    a, b = _norm(out), _norm(exp)
+    for c in ("q0", "q25", "q50", "q90", "q100"):
+        np.testing.assert_allclose(a[c], b[c], atol=1e-9)
+    assert a["n"].tolist() == b["n"].tolist()
