@@ -2169,6 +2169,48 @@ def q_doc_length_quantiles_cont(sf_dir: str):
     return ds.map_batches(_round, batch_format="pyarrow")
 
 
+def q_doc_triangles(sf_dir: str):
+    """Per-node triangle counts over the sparse-cosine ≥0.85 doc-similarity
+    graph: two-exchange min-node-oriented enumeration (wedges at the
+    minimum endpoint, closing-edge membership on a co-shuffled pair key) —
+    pipelines/clustering.py::triangle_counts; edges from
+    dedup.token_cosine_pairs."""
+    from splink_ray.pipelines.clustering import triangle_counts
+    from splink_ray.stages.dedup import token_cosine_pairs
+
+    edges = token_cosine_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.85, max_df=600,
+    ).select_columns(["id_l", "id_r"])
+    return triangle_counts(edges)
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot-to-wide: per-user event counts, one n_<type> column per event
+    type (static pivot domain — the schema contract at scale); only
+    (user, type) count partials shuffle (stages/stats.py::pivot_counts)."""
+    from splink_ray.stages.stats import pivot_counts
+
+    return pivot_counts(
+        _ds(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_embedding_correlation(sf_dir: str):
+    """Pearson correlation matrix of the embedding column (upper triangle)
+    from the SAME d²-bounded Gram/sum/count partial aggregation as the
+    covariance query — the driver finish divides by √(var_i·var_j)
+    (stages/ann.py::embedding_covariance correlation=True)."""
+    from splink_ray.stages.ann import embedding_covariance
+
+    return embedding_covariance(
+        _ds(sf_dir, "embeddings", ["embedding"]), "embedding",
+        correlation=True,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2210,10 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
-        "token_count_docs": q_token_count_docs,
-        "window_event_stats": q_window_event_stats,
         "last_click_before": q_last_click_before,
-        "normalize_docs": q_normalize_docs,
         "scrub_pii_contacts": q_scrub_pii_contacts,
         "decontaminate_docs": q_decontaminate_docs,
         # --- new round-5 operators, second batch (each takes a window slot
@@ -2265,6 +2304,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": q_mode_event_type,
         "char_entropy_docs": q_char_entropy_docs,
         "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
+        # --- new round-5 operators, sixth batch (triangle counting over the
+        # cosine similarity graph, pivot-to-wide counts, correlation
+        # matrix); slots from r3-green re-runs token_count_docs /
+        # window_event_stats / normalize_docs (ever-green via their r3
+        # rows; their families keep in-window coverage through
+        # char_entropy_docs, mode_event_type and the corpus batch) ---
+        "doc_triangles": q_doc_triangles,
+        "event_type_pivot": q_event_type_pivot,
+        "embedding_correlation": q_embedding_correlation,
         # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
@@ -2288,6 +2336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
         "flagship_predict": q_flagship_predict,
+        "token_count_docs": q_token_count_docs,
+        "window_event_stats": q_window_event_stats,
+        "normalize_docs": q_normalize_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -3525,6 +3576,64 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "doc_triangles": (
+            # same inverted-index cosine CTE as token_cosine_pairs at 0.85,
+            # then the canonical oriented 3-way self-join (a<b<c); each
+            # triangle credits all three nodes
+            "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+            "nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 "
+            "FROM tf GROUP BY doc_id), "
+            "df AS (SELECT term FROM tf GROUP BY term "
+            "HAVING count(*) BETWEEN 2 AND 600), "
+            "dots AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+            "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot "
+            "FROM tf a JOIN tf b USING (term) JOIN df USING (term) "
+            "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "e AS (SELECT id_l, id_r FROM dots "
+            "JOIN nrm nl ON nl.doc_id = dots.id_l "
+            "JOIN nrm nr ON nr.doc_id = dots.id_r "
+            "WHERE dot / (sqrt(nl.n2) * sqrt(nr.n2)) >= 0.85), "
+            "tri AS (SELECT e1.id_l AS a, e1.id_r AS b, e2.id_r AS c "
+            "FROM e e1 JOIN e e2 ON e2.id_l = e1.id_r "
+            "JOIN e e3 ON e3.id_l = e1.id_l AND e3.id_r = e2.id_r), "
+            "nodes AS (SELECT a AS node FROM tri UNION ALL "
+            "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM nodes GROUP BY node"
+        ),
+        "event_type_pivot": (
+            "SELECT user_id, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) "
+            "AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "embedding_correlation": (
+            # same moments as embedding_covariance; the engine computes the
+            # identical final expression (sxy/n - mi*mj)/sqrt(var_i*var_j)
+            "WITH dims AS (SELECT vec_id, gs.i AS dim, "
+            "embedding[gs.i + 1]::DOUBLE AS v FROM embeddings CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) gs), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), "
+            "s AS (SELECT dim, sum(v) AS s FROM dims GROUP BY dim), "
+            "xy AS (SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS sxy "
+            "FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
+            "GROUP BY a.dim, b.dim) "
+            "SELECT xy.i AS dim_i, xy.j AS dim_j, "
+            "round((xy.sxy / nn.n - (si.s / nn.n) * (sj.s / nn.n)) / "
+            "sqrt((xii.sxy / nn.n - (si.s / nn.n) * (si.s / nn.n)) * "
+            "(xjj.sxy / nn.n - (sj.s / nn.n) * (sj.s / nn.n))), 6) AS corr "
+            "FROM xy, nn "
+            "JOIN s si ON si.dim = xy.i JOIN s sj ON sj.dim = xy.j "
+            "JOIN xy xii ON xii.i = xy.i AND xii.j = xy.i "
+            "JOIN xy xjj ON xjj.i = xy.j AND xjj.j = xy.j"
         ),
         "ntile_docs": (
             "SELECT doc_id, n_chars, "

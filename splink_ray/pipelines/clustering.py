@@ -732,3 +732,146 @@ def pagerank(
         )
 
     return state.map_batches(_final, batch_format="pyarrow")
+
+
+def triangle_counts(pairs, id_l: str = "id_l", id_r: str = "id_r", num_buckets=None):
+    """Per-node triangle counts over an undirected edge list (requires the
+    canonical ``id_l < id_r`` orientation every pair stage here emits, and
+    distinct edges).
+
+    Classic two-exchange distributed triangle enumeration with min-node
+    orientation:
+
+    1. ONE exchange keyed on the LOWER endpoint groups each apex's higher
+       neighbors; in-bucket candidate wedges (b, c) with b < c are emitted
+       per apex — every triangle (a<b<c) is generated exactly once, at its
+       minimum node, so wedge volume is Σ deg_min(v)² (the standard
+       orientation bound; cap pathological hot nodes upstream);
+    2. wedges ∪ edges co-shuffle on the (b, c) pair key (ONE more
+       exchange); the in-bucket membership check keeps wedges whose closing
+       edge exists, and per-node count partials (each triangle credits a, b
+       AND c) leave the bucket pre-aggregated;
+    3. a tiny groupby sums partials → (node, n_triangles) for every node in
+       at least one triangle. A typed seed block keeps the schema when the
+       graph is triangle-free."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _pairs_in_buckets
+    from ..stages.exchange import keyed_map
+    from ..stages.joins import _as_schema
+
+    id_type = _as_schema(pairs).field(id_l).type
+    # the narrow edge projection has TWO consumers (wedge generation and
+    # the membership side of the co-shuffle); materialize it so an
+    # expensive upstream pair generator isn't executed twice — edges are
+    # the small derived set (two ids/row), not the corpus
+    edges = pairs.select_columns([id_l, id_r]).materialize()
+
+    def _key_of(b: pa.Array, c: pa.Array) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(b, pa.string()), pc.cast(c, pa.string()), "|"
+        )
+
+    def _union_empty() -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "a": pa.array([], id_type),
+                "b": pa.array([], id_type),
+                "c": pa.array([], id_type),
+                "kind": pa.array([], pa.int8()),
+            }
+        )
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or t.num_columns == 0:
+            return _union_empty()
+        li, ri, ts = _pairs_in_buckets(t, id_l, id_r)
+        if len(li) == 0:
+            return _union_empty()
+        nb = ts[id_r]
+        b = nb.take(pa.array(li, pa.int64()))
+        c = nb.take(pa.array(ri, pa.int64()))
+        a = ts[id_l].take(pa.array(li, pa.int64()))
+        return pa.table(
+            {
+                "key": _key_of(b, c),
+                "a": a,
+                "b": b,
+                "c": c,
+                "kind": pa.array(np.ones(len(b), np.int8)),
+            }
+        )
+
+    wedges = keyed_map(edges, id_l, _wedges, num_buckets=num_buckets)
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        b = t[id_l]
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        c = t[id_r]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table(
+            {
+                "key": _key_of(b, c),
+                "a": pa.nulls(len(t), id_type),
+                "b": b,
+                "c": c,
+                "kind": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    tagged = wedges.union(
+        edges.map_batches(_edge_rows, batch_format="pyarrow")
+    )
+
+    def _close(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"node": pa.array([], id_type), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0 or "kind" not in t.column_names:
+            return empty
+        kind = t["kind"]
+        if isinstance(kind, pa.ChunkedArray):
+            kind = kind.combine_chunks()
+        is_edge = pc.equal(kind, pa.scalar(0, pa.int8()))
+        edge_keys = pc.unique(t.filter(is_edge)["key"].combine_chunks())
+        w = t.filter(pc.invert(is_edge))
+        if len(w) == 0 or len(edge_keys) == 0:
+            return empty
+        wk = w["key"]
+        if isinstance(wk, pa.ChunkedArray):
+            wk = wk.combine_chunks()
+        tri = w.filter(pc.is_in(wk, value_set=edge_keys))
+        if len(tri) == 0:
+            return empty
+        nodes = pa.concat_arrays(
+            [
+                (tri[c].combine_chunks() if isinstance(tri[c], pa.ChunkedArray)
+                 else tri[c]).cast(id_type)
+                for c in ("a", "b", "c")
+            ]
+        )
+        vc = nodes.value_counts()
+        return pa.table(
+            {
+                "node": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = keyed_map(tagged, "key", _close, num_buckets=num_buckets)
+    agg = partials.groupby("node").aggregate(
+        Sum("n", alias_name="n_triangles")
+    )
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([], id_type),
+                "n_triangles": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return agg.union(seed)

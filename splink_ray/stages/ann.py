@@ -456,7 +456,9 @@ def group_centroids(ds, vec_col: str, group_col: str):
     return merged.map_batches(_finish, batch_format="pyarrow")
 
 
-def embedding_covariance(ds, vec_col: str, decimals: int = 6) -> pa.Table:
+def embedding_covariance(
+    ds, vec_col: str, decimals: int = 6, correlation: bool = False
+) -> pa.Table:
     """Population covariance matrix of an embedding column, upper triangle —
     the moment computation behind PCA/whitening/drift monitoring on a
     100-TB vector corpus.
@@ -468,7 +470,12 @@ def embedding_covariance(ds, vec_col: str, decimals: int = 6) -> pa.Table:
     final ``cov = Σxy/n − (Σx/n)(Σy/n)`` map runs on the driver over the
     bounded d²-sized reduce output (same bounded-pull class as the k-row
     kmeans reduce above). Returns a pa.Table (dim_i, dim_j, cov) with
-    dim_i <= dim_j, cov half-away-rounded to ``decimals``."""
+    dim_i <= dim_j, cov half-away-rounded to ``decimals``.
+
+    ``correlation=True`` returns Pearson correlations instead — the SAME
+    partial aggregation, with the driver finish dividing each unrounded
+    covariance by ``√(var_i·var_j)`` read off the diagonal (zero-variance
+    dims yield null); output column is ``corr``."""
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -531,6 +538,24 @@ def embedding_covariance(ds, vec_col: str, decimals: int = 6) -> pa.Table:
     sxy = np.array([pairs[(i, j)] for i, j in zip(iu, ju)], np.float64)
     # exact expression order of the SQL oracle: sxy/n - (si/n)*(sj/n)
     cov = sxy / n - (sx[iu] / n) * (sx[ju] / n)
+    if correlation:
+        var = np.array(
+            [pairs[(i, i)] / n - (sx[i] / n) * (sx[i] / n) for i in range(d)],
+            np.float64,
+        )
+        denom = np.sqrt(var[iu] * var[ju])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = cov / denom
+        vals = round_half_away(corr, decimals)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu, pa.int64()),
+                "dim_j": pa.array(ju, pa.int64()),
+                "corr": pa.array(
+                    vals, pa.float64(), mask=~np.isfinite(corr)
+                ),
+            }
+        )
     return pa.table(
         {
             "dim_i": pa.array(iu, pa.int64()),

@@ -348,6 +348,76 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def pivot_counts(ds, group_col: str, pivot_col: str, values, num_buckets=None):
+    """Pivot-to-wide counts: one row per group with an ``n_<value>`` count
+    column per entry of ``values`` — the SQL ``COUNT(*) FILTER (WHERE v =
+    'x')`` fan-out. ``values`` is the explicit (static) pivot domain: at
+    scale the output SCHEMA must be fixed up front, so unlisted values are
+    counted into none of the columns (pre-validate the domain upstream if
+    that must be an error).
+
+    Scale shape: per-batch (group, value) partial counts are the only rows
+    that shuffle; ONE group-keyed exchange; in-bucket a vectorized bincount
+    over ``group_run × |values|`` scatters the merged counts into the wide
+    layout."""
+    from .exchange import group_starts, keyed_map
+
+    values = list(values)
+    vset = pa.array([str(v) for v in values], pa.string())
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, pivot_col])
+            .group_by([group_col, pivot_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, pivot_col, "c"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _wide(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type if t.num_columns else pa.int64()
+        if len(t) == 0:
+            cols = {group_col: pa.array([], gtype)}
+            for v in values:
+                cols[f"n_{v}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t = (
+            t.group_by([group_col, pivot_col], use_threads=False)
+            .aggregate([("c", "sum")])
+            .rename_columns([group_col, pivot_col, "c"])
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(t)))
+        run = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        piv = t[pivot_col]
+        if isinstance(piv, pa.ChunkedArray):
+            piv = piv.combine_chunks()
+        vidx = (
+            pc.fill_null(pc.index_in(pc.cast(piv, pa.string()), vset), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        known = vidx >= 0
+        vidx = np.maximum(vidx, 0)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(values)
+        mat = np.bincount(
+            (run * nv + vidx)[known], weights=c[known].astype(np.float64),
+            minlength=len(starts) * nv,
+        ).astype(np.int64).reshape(len(starts), nv)
+        cols = {group_col: g.take(pa.array(starts))}
+        for k, v in enumerate(values):
+            cols[f"n_{v}"] = pa.array(mat[:, k], pa.int64())
+        return pa.table(cols)
+
+    return keyed_map(partials, group_col, _wide, num_buckets=num_buckets)
+
+
 def global_row_number(
     ds,
     value_col: str,

@@ -318,3 +318,101 @@ def test_grouped_quantiles_interpolated_matches_quantile_cont(ray_session):
     for c in ("q0", "q25", "q50", "q90", "q100"):
         np.testing.assert_allclose(a[c], b[c], atol=1e-9)
     assert a["n"].tolist() == b["n"].tolist()
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import triangle_counts
+
+    rng = np.random.default_rng(15)
+    n = 60
+    # random graph ~12% density → plenty of triangles
+    li, ri = np.triu_indices(n, k=1)
+    keep = rng.random(len(li)) < 0.12
+    li, ri = li[keep].astype(np.int64), ri[keep].astype(np.int64)
+    edges = pa.table({"id_l": li, "id_r": ri})
+    out = (
+        triangle_counts(rd.from_arrow(edges).repartition(5), num_buckets=7)
+        .to_pandas().set_index("node")["n_triangles"].to_dict()
+    )
+    eset = set(zip(li.tolist(), ri.tolist()))
+    adj = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref: dict = {}
+    for a, b in eset:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once at its ordered triple
+                for x in (a, b, c):
+                    ref[x] = ref.get(x, 0) + 1
+    assert out == ref and sum(ref.values()) % 3 == 0 and len(ref) > 10
+
+
+def test_triangle_counts_triangle_free_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import triangle_counts
+
+    # a path graph has no triangles
+    edges = pa.table(
+        {"id_l": np.arange(9, dtype=np.int64),
+         "id_r": np.arange(1, 10, dtype=np.int64)}
+    )
+    ds = triangle_counts(rd.from_arrow(edges))
+    assert ds.schema().names == ["node", "n_triangles"]
+    assert ds.count() == 0
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import pivot_counts
+
+    rng = np.random.default_rng(16)
+    n = 4000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 50, n),
+            "v": rng.choice(["a", "b", "c", "zzz"], n, p=[0.4, 0.3, 0.2, 0.1]),
+        }
+    )
+    # 'zzz' is NOT in the pivot domain → counted nowhere (documented)
+    out = pivot_counts(
+        rd.from_arrow(t).repartition(6), "g", "v", ["a", "b", "c"],
+        num_buckets=9,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, CAST(COUNT(*) FILTER (v='a') AS BIGINT) AS n_a, "
+        "CAST(COUNT(*) FILTER (v='b') AS BIGINT) AS n_b, "
+        "CAST(COUNT(*) FILTER (v='c') AS BIGINT) AS n_c "
+        "FROM t GROUP BY g"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_embedding_correlation_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.ann import embedding_covariance
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(400, 6))
+    X[:, 3] = 2.5 * X[:, 0] - 1.0  # perfectly correlated pair
+    t = pa.table({"embedding": [row.tolist() for row in X]})
+    out = embedding_covariance(
+        rd.from_arrow(t).repartition(4), "embedding", decimals=9,
+        correlation=True,
+    ).to_pandas()
+    ref = np.corrcoef(X.T)
+    for _, r in out.iterrows():
+        assert abs(r["corr"] - ref[int(r.dim_i), int(r.dim_j)]) < 1e-6
+    iu = np.triu_indices(6)
+    assert len(out) == len(iu[0])
+    d03 = out[(out.dim_i == 0) & (out.dim_j == 3)]["corr"].iloc[0]
+    assert abs(d03 - 1.0) < 1e-9
