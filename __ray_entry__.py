@@ -2211,6 +2211,91 @@ def q_embedding_correlation(sf_dir: str):
     )
 
 
+def q_cumulative_new_users(sf_dir: str):
+    """Composition query — cumulative daily new users: per-user FIRST event
+    (count-partial min + groupby min), daily new-user counts (day-domain
+    bounded), then the distributed prefix scan (stages/scan.py::prefix_sum)
+    turns daily counts into the running total. Only (user, min-ts) and
+    (day, count) rows ever shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    from splink_ray.stages.scan import prefix_sum
+
+    ev = _ds(sf_dir, "events", ["user_id", "ts"])
+
+    def _pmin(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(ts, pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "us": us})
+            .group_by("user_id", use_threads=False)
+            .aggregate([("us", "min")])
+        )
+        return g.rename_columns(["user_id", "fts"])
+
+    firsts = (
+        ev.map_batches(_pmin, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("fts", alias_name="fts"))
+    )
+
+    def _daily(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["fts"], pa.scalar(86_400_000_000, pa.int64()))
+        g = (
+            pa.table({"day": day})
+            .group_by("day", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["day", "new_users"])
+
+    daily = (
+        firsts.map_batches(_daily, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+        .materialize()  # day-domain sized; prefix_sum consumes it twice
+    )
+    scanned = prefix_sum(daily, "day", "new_users", out_col="__excl",
+                         bucket_width=1024)
+
+    def _inc(t: pa.Table) -> pa.Table:
+        cum = pc.add(t["__excl"], t["new_users"])
+        return pa.table(
+            {
+                "day": pc.cast(t["day"], pa.int64()),
+                "new_users": pc.cast(t["new_users"], pa.int64()),
+                "cum_users": pc.cast(cum, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_inc, batch_format="pyarrow")
+
+
+def q_sample_docs_per_lang(sf_dir: str):
+    """Deterministic per-group sampling: the 3 smallest-md5 docs per
+    language — the md5-cut key idiom (DuckDB kernel, bit-parity with the
+    oracle) + BOTTOM-k via grouped_topk(ascending=True); partitioning-
+    invariant by construction."""
+    from splink_ray.duckdb_kernels import get_kernel
+    from splink_ray.stages.stats import grouped_topk
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        h = get_kernel().md5_u32(t["doc_id"])
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "k": pa.array(h.astype(np.int64), pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    return grouped_topk(keyed, "lang", "k", "doc_id", k=3, ascending=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2253,7 +2338,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
         "last_click_before": q_last_click_before,
-        "scrub_pii_contacts": q_scrub_pii_contacts,
         "decontaminate_docs": q_decontaminate_docs,
         # --- new round-5 operators, second batch (each takes a window slot
         # from an r3-green rotation re-run — those stay ever-green via their
@@ -2313,6 +2397,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_triangles": q_doc_triangles,
         "event_type_pivot": q_event_type_pivot,
         "embedding_correlation": q_embedding_correlation,
+        # --- new round-5 operators, seventh batch (cumulative-new-users
+        # prefix-scan composition, deterministic per-group md5 sampling);
+        # slots from r3-green re-runs last_click_before /
+        # scrub_pii_contacts (ever-green via r3; events + corpus families
+        # keep in-window coverage) ---
+        "cumulative_new_users": q_cumulative_new_users,
+        "sample_docs_per_lang": q_sample_docs_per_lang,
         # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
@@ -2339,6 +2430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": q_token_count_docs,
         "window_event_stats": q_window_event_stats,
         "normalize_docs": q_normalize_docs,
+        "last_click_before": q_last_click_before,
+        "scrub_pii_contacts": q_scrub_pii_contacts,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -3576,6 +3669,25 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "cumulative_new_users": (
+            "WITH f AS (SELECT user_id, min(ts) AS fts FROM events "
+            "GROUP BY user_id), "
+            "d AS (SELECT CAST(epoch_us(fts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1) "
+            "SELECT day, new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users "
+            "FROM d"
+        ),
+        "sample_docs_per_lang": (
+            # same md5-cut key the engine's DuckDB kernel computes — the
+            # BOTTOM-3 boundary is bit-exact by construction
+            "SELECT lang, k, doc_id, rank FROM ("
+            "SELECT lang, k, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY k, doc_id) AS rank FROM ("
+            "SELECT lang, doc_id, CAST(('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS k "
+            "FROM documents)) WHERE rank <= 3"
         ),
         "doc_triangles": (
             # same inverted-index cosine CTE as token_cosine_pairs at 0.85,

@@ -158,11 +158,13 @@ def distinct_count_per_group(ds, group_col: str, value_col: str, num_buckets=Non
 
 
 def grouped_topk(
-    ds, group_col: str, value_col: str, id_col: str, k: int, num_buckets=None
+    ds, group_col: str, value_col: str, id_col: str, k: int,
+    num_buckets=None, ascending: bool = False,
 ):
     """Top-``k`` rows per group by (``value_col`` DESC, ``id_col`` ASC) —
     the distributed equivalent of ``row_number() OVER (PARTITION BY g ORDER
-    BY v DESC, id) <= k``.
+    BY v DESC, id) <= k``. ``ascending=True`` flips the value order (BOTTOM-k
+    — e.g. smallest-hash deterministic per-group sampling).
 
     Scale shape: every batch first prunes LOCALLY to its own per-group
     top-k (sort + group-run rank, fully vectorized), so at most
@@ -180,7 +182,7 @@ def grouped_topk(
             t,
             sort_keys=[
                 (group_col, "ascending"),
-                (value_col, "descending"),
+                (value_col, "ascending" if ascending else "descending"),
                 (id_col, "ascending"),
             ],
         )

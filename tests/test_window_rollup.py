@@ -416,3 +416,30 @@ def test_embedding_correlation_matches_numpy(ray_session):
     assert len(out) == len(iu[0])
     d03 = out[(out.dim_i == 0) & (out.dim_j == 3)]["corr"].iloc[0]
     assert abs(d03 - 1.0) < 1e-9
+
+
+def test_grouped_topk_ascending_bottom_k(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_topk
+
+    rng = np.random.default_rng(18)
+    n = 2000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 20, n),
+            "v": rng.integers(0, 1000, n),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = grouped_topk(
+        rd.from_arrow(t).repartition(5), "g", "v", "id", k=4,
+        ascending=True, num_buckets=7,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, v, id, rank FROM (SELECT g, v, id, row_number() OVER ("
+        "PARTITION BY g ORDER BY v, id) AS rank FROM t) WHERE rank <= 4"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
