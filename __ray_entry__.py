@@ -2296,6 +2296,58 @@ def q_sample_docs_per_lang(sf_dir: str):
     return grouped_topk(keyed, "lang", "k", "doc_id", k=3, ascending=True)
 
 
+def q_contaminated_docs(sf_dir: str):
+    """Contamination AUDIT — the semi-join twin of dedup_against_docs:
+    corpus rows whose md5 content IS in the doc_id % 37 == 0 reference
+    subset (dedup_against keep='hit'); identical one-exchange plan."""
+    from splink_ray.stages.dedup import dedup_against
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ref(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        return t.filter(
+            pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 37), 37)), 0)
+        )
+
+    ref = ds.map_batches(_ref, batch_format="pyarrow")
+    return dedup_against(ds, ref, "text", "doc_id", keep="hit").select_columns(
+        ["doc_id"]
+    )
+
+
+def q_zscore_docs(sf_dir: str):
+    """Per-group z-score feature normalization: (n_chars − mean_lang)/
+    std_lang — integer moment partials reduce once, the bounded group
+    table broadcasts, batches attach vectorized; the double law is a pure
+    function of three integers, bitwise-equal to the SQL oracle
+    (stages/stats.py::grouped_zscore)."""
+    from splink_ray.stages.stats import grouped_zscore
+
+    z = grouped_zscore(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars",
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        zs = t["zscore"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "zscore": pa.array(
+                    round_half_away(zs, 6), pa.float64(),
+                    mask=~np.isfinite(zs),
+                ),
+            }
+        )
+
+    return z.map_batches(_round, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2326,8 +2378,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against_docs": q_dedup_against_docs,
         # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
         "stratified_sample_docs": q_stratified_sample_docs,
-        "vertical_concat": q_vertical_concat,
-        "profile_top_event_types": q_profile_top_event_types,
         "completeness_customer": q_completeness_customer,
         "count_comparisons": q_count_comparisons,
         "blocking_pairs_salted": q_blocking_pairs_salted,
@@ -2337,7 +2387,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
-        "last_click_before": q_last_click_before,
         "decontaminate_docs": q_decontaminate_docs,
         # --- new round-5 operators, second batch (each takes a window slot
         # from an r3-green rotation re-run — those stay ever-green via their
@@ -2404,6 +2453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep in-window coverage) ---
         "cumulative_new_users": q_cumulative_new_users,
         "sample_docs_per_lang": q_sample_docs_per_lang,
+        # --- new round-5 operators, eighth batch (contamination audit
+        # semi-join, grouped z-score normalization); slots from r3-green
+        # re-runs vertical_concat / profile_top_event_types (ever-green
+        # via r3) ---
+        "contaminated_docs": q_contaminated_docs,
+        "zscore_docs": q_zscore_docs,
         # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
@@ -2432,6 +2487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": q_normalize_docs,
         "last_click_before": q_last_click_before,
         "scrub_pii_contacts": q_scrub_pii_contacts,
+        "vertical_concat": q_vertical_concat,
+        "profile_top_event_types": q_profile_top_event_types,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -3669,6 +3726,22 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "contaminated_docs": (
+            "SELECT d.doc_id FROM documents d WHERE EXISTS ("
+            "SELECT 1 FROM documents r WHERE r.doc_id % 37 = 0 "
+            "AND md5(r.text) = md5(d.text))"
+        ),
+        "zscore_docs": (
+            # the engine evaluates the identical double law from the same
+            # three integer moments: (v - s1/n) / sqrt(s2/n - (s1/n)^2)
+            "WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(n_chars) AS DOUBLE) AS s1, "
+            "CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2 "
+            "FROM documents GROUP BY lang) "
+            "SELECT doc_id, lang, n_chars, "
+            "round((n_chars - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) "
+            "AS zscore FROM documents JOIN g USING (lang)"
         ),
         "cumulative_new_users": (
             "WITH f AS (SELECT user_id, min(ts) AS fts FROM events "

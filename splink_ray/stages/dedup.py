@@ -922,12 +922,16 @@ def semdedup(
 def dedup_against(
     ds, ref_ds, text_col: str, id_col: str,
     ref_text_col: str | None = None, method: str = "join",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, keep: str = "miss",
 ):
     """Cross-corpus exact dedup: drop rows of ``ds`` whose ``text_col``
     content (md5) also appears in ``ref_ds`` — the "dedupe a new crawl
     against the existing training set" shape. Returns the surviving rows of
     ``ds`` with all original columns.
+
+    ``keep="miss"`` (default) is the anti-join (decontaminate);
+    ``keep="hit"`` flips it to the semi-join — the contamination AUDIT
+    view (which corpus rows ARE in the reference), same exchange plan.
 
     ``method="join"`` (default, the 100-TB path): corpus rows and reference
     content hashes co-locate via ONE hash-bucket exchange on the md5 and the
@@ -951,6 +955,9 @@ def dedup_against(
     from .exchange import broadcast as bcast
     from .exchange import keyed_map
 
+    if keep not in ("miss", "hit"):
+        raise ValueError(f"unknown keep {keep!r}")
+    want_hit = keep == "hit"
     rcol = ref_text_col or text_col
 
     def _hash(t: pa.Table) -> pa.Table:
@@ -975,7 +982,8 @@ def dedup_against(
 
             bl = _fetch_broadcast(ref)
             hit = pc.is_in(t["__h"], value_set=bl)
-            return t.filter(pc.invert(hit)).drop_columns(["__h"])
+            mask = hit if want_hit else pc.invert(hit)
+            return t.filter(mask).drop_columns(["__h"])
 
         return hashed.map_batches(_gate, batch_format="pyarrow")
 
@@ -1022,8 +1030,10 @@ def dedup_against(
         if len(refh):
             if isinstance(refh, pa.ChunkedArray):
                 refh = refh.combine_chunks()
-            keep = pc.invert(pc.is_in(corp["__h"], value_set=refh))
-            corp = corp.filter(keep)
+            hit = pc.is_in(corp["__h"], value_set=refh)
+            corp = corp.filter(hit if want_hit else pc.invert(hit))
+        elif want_hit:
+            return empty_out
         return corp.drop_columns(["__h", "__side"])
 
     return keyed_map(union, "__h", _anti, num_buckets=num_partitions)

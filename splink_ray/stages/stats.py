@@ -350,6 +350,81 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def grouped_zscore(ds, group_col: str, value_col: str, out_col: str = "zscore"):
+    """Per-row z-score normalization against the row's GROUP —
+    ``(v − mean_g) / std_g`` (population std) — the standard distributed
+    feature-engineering shape: per-batch ``(group, n, Σv, Σv²)`` moment
+    partials (group-domain sized, row-count independent) reduce through one
+    small groupby, the bounded group table broadcasts once via ``ray.put``,
+    and every batch attaches z-scores with a vectorized ``index_in``
+    gather — raw rows never shuffle.
+
+    With an integer ``value_col`` the three moments are exact integers, so
+    the double expression ``(v − s1/n) / sqrt(s2/n − (s1/n)²)`` is
+    bit-identical to a SQL engine evaluating the same formula.
+    Zero-variance groups yield null. Input lineage executes twice
+    (moments + attach) — materialize upstream if more than a pruned scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _moments(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v2 = pc.multiply(v, v)
+        g = (
+            pa.table({group_col: t[group_col], "__v": v, "__v2": v2})
+            .group_by(group_col, use_threads=False)
+            .aggregate([("__v", "sum"), ("__v2", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns([group_col, "s1", "s2", "n"])
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n"),
+        )
+        .materialize()  # group-domain sized
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+    )
+    gvals = tbl[group_col].combine_chunks()
+    n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = tbl["s1"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = tbl["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    m = s1 / n
+    var = s2 / n - m * m
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt(var)
+    ref = ray.put(
+        (gvals, pa.array(m, pa.float64()), pa.array(std, pa.float64()))
+    )
+
+    def _attach(t: pa.Table) -> pa.Table:
+        gv, means, stds = ray.get(ref)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        idx = pc.index_in(g.cast(gv.type), gv)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vm = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mm = means.take(idx).to_numpy(zero_copy_only=False)
+        ss = stds.take(idx).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vm - mm) / ss
+        return t.append_column(
+            out_col, pa.array(z, pa.float64(), mask=~np.isfinite(z))
+        )
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
 def pivot_counts(ds, group_col: str, pivot_col: str, values, num_buckets=None):
     """Pivot-to-wide counts: one row per group with an ``n_<value>`` count
     column per entry of ``values`` — the SQL ``COUNT(*) FILTER (WHERE v =

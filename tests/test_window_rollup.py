@@ -7,6 +7,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -443,3 +444,65 @@ def test_grouped_topk_ascending_bottom_k(ray_session):
         "PARTITION BY g ORDER BY v, id) AS rank FROM t) WHERE rank <= 4"
     ).df()
     pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_grouped_zscore_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_zscore
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c", "const"], n),
+            "v": rng.integers(0, 500, n),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # make one group zero-variance → null zscores
+    t = t.set_column(1, "v", pc.if_else(
+        pc.equal(t["g"], "const"), pa.scalar(7, t.schema.field("v").type), t["v"]
+    ))
+    out = grouped_zscore(
+        rd.from_arrow(t).repartition(6), "g", "v"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "WITH gs AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(sum(v) AS DOUBLE) AS s1, CAST(sum(v*v) AS DOUBLE) AS s2 "
+        "FROM t GROUP BY g) "
+        "SELECT id, (v - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS z "
+        "FROM t JOIN gs USING (g)"
+    ).df().set_index("id")["z"]
+    got = out.set_index("id")["zscore"]
+    const_ids = out[out.g == "const"]["id"]
+    assert got.loc[const_ids].isna().all()
+    rest = out[out.g != "const"]["id"]
+    np.testing.assert_allclose(got.loc[rest], exp.loc[rest], atol=1e-12)
+
+
+def test_dedup_against_hit_is_complement_of_miss(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import dedup_against
+
+    texts = [f"doc {i % 7}" for i in range(40)]  # heavy duplication
+    corpus = pa.table(
+        {"doc_id": np.arange(40, dtype=np.int64), "text": texts}
+    )
+    ref = pa.table({"doc_id": [100, 101], "text": ["doc 0", "doc 3"]})
+    cds = rd.from_arrow(corpus).repartition(4)
+    rds = rd.from_arrow(ref)
+    for method in ("join", "broadcast"):
+        miss = set(
+            dedup_against(cds, rds, "text", "doc_id", method=method)
+            .to_pandas().doc_id
+        )
+        hit = set(
+            dedup_against(cds, rds, "text", "doc_id", method=method,
+                          keep="hit").to_pandas().doc_id
+        )
+        assert miss | hit == set(range(40)) and not (miss & hit)
+        assert hit == {i for i in range(40) if i % 7 in (0, 3)}
