@@ -2348,6 +2348,55 @@ def q_zscore_docs(sf_dir: str):
     return z.map_batches(_round, batch_format="pyarrow")
 
 
+def q_order_corr_by_priority(sf_dir: str):
+    """Per-group bivariate Pearson correlation (order value in whole
+    dollars vs order date in epoch days, grouped by priority) — integer
+    (n, Σx, Σy, Σx², Σy², Σxy) moment partials, one small groupby, the
+    double law a pure function of integer moments
+    (stages/stats.py::grouped_corr). Dollars (not cents) keep Σx² inside
+    int64 — the stage's documented domain contract."""
+    from splink_ray.kernels import round_half_away
+    from splink_ray.stages.stats import grouped_corr
+
+    orders = _ds(
+        sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def _xy(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = round_half_away(np.asarray(p, np.float64), 0).astype(np.int64)
+        d = t["o_orderdate"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        y = pc.divide(
+            pc.cast(d, pa.int64()), pa.scalar(86_400_000_000, pa.int64())
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "x": pa.array(x, pa.int64()),
+                "y": y,
+            }
+        )
+
+    xy = orders.map_batches(_xy, batch_format="pyarrow")
+    c = grouped_corr(xy, "o_orderpriority", "x", "y")
+
+    def _round(t: pa.Table) -> pa.Table:
+        r = t["corr"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": t["n"],
+                "corr": pa.array(
+                    round_half_away(r, 6), pa.float64(), mask=~np.isfinite(r)
+                ),
+            }
+        )
+
+    return c.map_batches(_round, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2377,7 +2426,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
         # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
-        "stratified_sample_docs": q_stratified_sample_docs,
         "completeness_customer": q_completeness_customer,
         "count_comparisons": q_count_comparisons,
         "blocking_pairs_salted": q_blocking_pairs_salted,
@@ -2459,6 +2507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via r3) ---
         "contaminated_docs": q_contaminated_docs,
         "zscore_docs": q_zscore_docs,
+        # --- ninth batch (grouped bivariate correlation); slot from
+        # r3-green re-run stratified_sample_docs (ever-green via r3;
+        # sampling family covered in-window by weighted/sample-per-lang) ---
+        "order_corr_by_priority": q_order_corr_by_priority,
         # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
@@ -2489,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii_contacts": q_scrub_pii_contacts,
         "vertical_concat": q_vertical_concat,
         "profile_top_event_types": q_profile_top_event_types,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "distinctive_terms_docs": q_distinctive_terms_docs,
         "knn_embeddings": q_knn_embeddings,
@@ -3726,6 +3779,24 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "order_corr_by_priority": (
+            # engine evaluates the identical expression from the same
+            # integer moments (dollars keep sum(x*x) inside BIGINT)
+            "WITH b AS (SELECT o_orderpriority, "
+            "CAST(round(o_totalprice) AS BIGINT) AS x, "
+            "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS y "
+            "FROM orders), "
+            "g AS (SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(x * x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y * y) AS DOUBLE) AS syy, "
+            "CAST(sum(x * y) AS DOUBLE) AS sxy "
+            "FROM b GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, CAST(n AS BIGINT) AS n, "
+            "round((sxy / n - (sx / n) * (sy / n)) / "
+            "sqrt((sxx / n - (sx / n) * (sx / n)) * "
+            "(syy / n - (sy / n) * (sy / n))), 6) AS corr FROM g"
         ),
         "contaminated_docs": (
             "SELECT d.doc_id FROM documents d WHERE EXISTS ("

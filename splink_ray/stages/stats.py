@@ -425,6 +425,91 @@ def grouped_zscore(ds, group_col: str, value_col: str, out_col: str = "zscore"):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group bivariate Pearson correlation between two integer columns
+    — one row per group: ``(group, n, corr)``.
+
+    Same moment-partial shape as :func:`grouped_zscore`: each batch reduces
+    to ``(group, n, Σx, Σy, Σx², Σy², Σxy)`` (group-domain sized), ONE small
+    groupby sums them, and the driver-bounded finish evaluates
+    ``(sxy/n − mx·my) / sqrt((sxx/n − mx²)(syy/n − my²))`` — a pure double
+    function of integer moments, bitwise-equal to a SQL engine computing
+    the same expression. Zero-variance groups yield null. Raw rows never
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t[x_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        y = t[y_col]
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        g = (
+            pa.table(
+                {
+                    group_col: t[group_col],
+                    "__x": x,
+                    "__y": y,
+                    "__xx": pc.multiply(x, x),
+                    "__yy": pc.multiply(y, y),
+                    "__xy": pc.multiply(x, y),
+                }
+            )
+            .group_by(group_col, use_threads=False)
+            .aggregate(
+                [("__x", "sum"), ("__y", "sum"), ("__xx", "sum"),
+                 ("__yy", "sum"), ("__xy", "sum"), ([], "count_all")]
+            )
+        )
+        return g.rename_columns(
+            [group_col, "sx", "sy", "sxx", "syy", "sxy", "n"]
+        )
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            *(Sum(c, alias_name=c) for c in ("sx", "sy", "sxx", "syy", "sxy", "n"))
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        gtype = (
+            t.schema.field(group_col).type
+            if group_col in t.column_names
+            else pa.string()
+        )
+        if len(t) == 0 or "sx" not in t.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "n": pa.array([], pa.int64()),
+                    "corr": pa.array([], pa.float64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx, my = sx / n, sy / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (sxy / n - mx * my) / np.sqrt(
+                (sxx / n - mx * mx) * (syy / n - my * my)
+            )
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n": pc.cast(t["n"], pa.int64()),
+                "corr": pa.array(r, pa.float64(), mask=~np.isfinite(r)),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def pivot_counts(ds, group_col: str, pivot_col: str, values, num_buckets=None):
     """Pivot-to-wide counts: one row per group with an ``n_<value>`` count
     column per entry of ``values`` — the SQL ``COUNT(*) FILTER (WHERE v =

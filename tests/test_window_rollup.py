@@ -506,3 +506,34 @@ def test_dedup_against_hit_is_complement_of_miss(ray_session):
         )
         assert miss | hit == set(range(40)) and not (miss & hit)
         assert hit == {i for i in range(40) if i % 7 in (0, 3)}
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(20)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.integers(0, 300, n)
+    y = (x * 2 + rng.integers(0, 50, n)).astype(np.int64)  # correlated
+    t = pa.table({"g": g, "x": x, "y": y})
+    out = grouped_corr(
+        rd.from_arrow(t).repartition(6), "g", "x", "y"
+    ).to_pandas().set_index("g")
+    for grp in ("a", "b", "c"):
+        m = g == grp
+        ref = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(out.loc[grp, "corr"] - ref) < 1e-9
+        assert out.loc[grp, "n"] == m.sum()
+
+
+def test_grouped_corr_zero_variance_is_null(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_corr
+
+    t = pa.table({"g": ["z"] * 5, "x": [7] * 5, "y": [1, 2, 3, 4, 5]})
+    out = grouped_corr(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    assert pd.isna(out["corr"].iloc[0]) and out["n"].iloc[0] == 5
