@@ -2397,6 +2397,60 @@ def q_order_corr_by_priority(sf_dir: str):
     return c.map_batches(_round, batch_format="pyarrow")
 
 
+def q_doc_length_mad(sf_dir: str):
+    """Per-language median absolute deviation of doc length — DuckDB mad()
+    semantics (interpolated medians at both levels) from two histogram
+    exchanges: group medians broadcast once, |v − m_g| derived per batch,
+    the SAME histogram quantile reruns over deviations
+    (stages/stats.py::grouped_mad)."""
+    from splink_ray.stages.stats import grouped_mad
+
+    out = grouped_mad(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars",
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        m = t["mad"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n": t["n"],
+                "mad": pa.array(round_half_away(m, 6), pa.float64()),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def q_sessions_per_user(sf_dir: str):
+    """Composition: gap-based sessionization (30-min) → per-user session
+    count (= max session_seq; partial max per batch, one tiny groupby) —
+    the per-entity rollup of the sessionize operator."""
+    from ray.data.aggregate import Max
+
+    from splink_ray.stages.events import sessionize
+
+    s = sessionize(
+        _ds(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        "user_id", "ts", "event_id", gap_minutes=30,
+    )
+
+    def _pmax(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "session_seq"])
+            .group_by("user_id", use_threads=False)
+            .aggregate([("session_seq", "max")])
+        )
+        return g.rename_columns(["user_id", "n_sessions"])
+
+    return (
+        s.map_batches(_pmax, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("n_sessions", alias_name="n_sessions"))
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2426,7 +2480,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
         # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
-        "completeness_customer": q_completeness_customer,
         "count_comparisons": q_count_comparisons,
         "blocking_pairs_salted": q_blocking_pairs_salted,
         "multi_rule_match_key": q_multi_rule_match_key,
@@ -2435,7 +2488,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
         "link_only_pairs": q_link_only_pairs,
-        "decontaminate_docs": q_decontaminate_docs,
         # --- new round-5 operators, second batch (each takes a window slot
         # from an r3-green rotation re-run — those stay ever-green via their
         # r3 driver rows, while a brand-new query here gets its ONLY row) ---
@@ -2511,6 +2563,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-green re-run stratified_sample_docs (ever-green via r3;
         # sampling family covered in-window by weighted/sample-per-lang) ---
         "order_corr_by_priority": q_order_corr_by_priority,
+        # --- tenth batch (grouped MAD, sessions-per-user rollup); slots
+        # from r3-green re-runs last_click_before / decontaminate_docs
+        # (ever-green via r3; their families keep in-window coverage via
+        # purchase_followup_counts and dedup_against/contaminated_docs) ---
+        "doc_length_mad": q_doc_length_mad,
+        "sessions_per_user": q_sessions_per_user,
         # --- (4) r4-green fill (flagship representative) ---
         "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
@@ -2540,6 +2598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_click_before": q_last_click_before,
         "scrub_pii_contacts": q_scrub_pii_contacts,
         "vertical_concat": q_vertical_concat,
+        "decontaminate_docs": q_decontaminate_docs,
+        "completeness_customer": q_completeness_customer,
         "profile_top_event_types": q_profile_top_event_types,
         "stratified_sample_docs": q_stratified_sample_docs,
         "unigram_logprob_docs": q_unigram_logprob_docs,
@@ -3779,6 +3839,18 @@ def oracle_sql() -> dict[str, str]:
         "event_trail_per_user": (
             "SELECT user_id, string_agg(event_type, '>' "
             "ORDER BY ts, event_id) AS trail FROM events GROUP BY user_id"
+        ),
+        "doc_length_mad": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "round(mad(n_chars), 6) AS mad FROM documents GROUP BY lang"
+        ),
+        "sessions_per_user": (
+            "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM ("
+            "SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END "
+            "AS brk FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+            ") GROUP BY user_id"
         ),
         "order_corr_by_priority": (
             # engine evaluates the identical expression from the same

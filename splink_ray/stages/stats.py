@@ -350,6 +350,56 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def grouped_mad(ds, group_col: str, value_col: str, num_buckets=None):
+    """Per-group median absolute deviation — ``median(|v − median_g(v)|)``
+    with interpolated (quantile_cont-style) medians at BOTH levels, matching
+    DuckDB ``mad()``.
+
+    Pure composition of the histogram-quantile primitive: pass 1 computes
+    interpolated group medians (one histogram exchange), which broadcast
+    once; pass 2 derives ``|v − m_g|`` per batch (exact doubles — integer
+    values minus an at-worst-.5 median) and runs the SAME histogram
+    quantile over the deviation column. Deviation cardinality is bounded by
+    the value domain, so both exchanges stay histogram-sized. Input lineage
+    executes twice — materialize upstream if it is more than a pruned scan.
+    Returns (group, n, mad); round before hash-comparing (interpolator ulp)."""
+    import ray
+
+    med = grouped_quantiles(
+        ds, group_col, value_col, qs=(0.5,), interpolated=True,
+        num_buckets=num_buckets,
+    ).materialize()  # group-domain sized
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in med.to_arrow_refs()], promote_options="default"
+    )
+    gvals = tbl[group_col].combine_chunks()
+    meds = tbl["q50"].combine_chunks()
+    ref = ray.put((gvals, meds))
+
+    def _dev(t: pa.Table) -> pa.Table:
+        gv, ms = ray.get(ref)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        idx = pc.index_in(g.cast(gv.type), gv)
+        m = ms.take(idx).to_numpy(zero_copy_only=False)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        dev = np.abs(v.cast(pa.float64()).to_numpy(zero_copy_only=False) - m)
+        return pa.table({group_col: g, "__dev": pa.array(dev, pa.float64())})
+
+    devs = ds.map_batches(_dev, batch_format="pyarrow")
+    out = grouped_quantiles(
+        devs, group_col, "__dev", qs=(0.5,), interpolated=True,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "mad"]),
+        batch_format="pyarrow",
+    )
+
+
 def grouped_zscore(ds, group_col: str, value_col: str, out_col: str = "zscore"):
     """Per-row z-score normalization against the row's GROUP —
     ``(v − mean_g) / std_g`` (population std) — the standard distributed

@@ -537,3 +537,51 @@ def test_grouped_corr_zero_variance_is_null(ray_session):
     t = pa.table({"g": ["z"] * 5, "x": [7] * 5, "y": [1, 2, 3, 4, 5]})
     out = grouped_corr(rd.from_arrow(t), "g", "x", "y").to_pandas()
     assert pd.isna(out["corr"].iloc[0]) and out["n"].iloc[0] == 5
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_mad
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 80, n),
+        }
+    )
+    out = grouped_mad(
+        rd.from_arrow(t).repartition(5), "g", "v"
+    ).to_pandas().set_index("g")
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, count(*) AS n, mad(v) AS mad FROM t GROUP BY g"
+    ).df().set_index("g")
+    for grp in exp.index:
+        assert out.loc[grp, "n"] == exp.loc[grp, "n"]
+        assert abs(out.loc[grp, "mad"] - exp.loc[grp, "mad"]) < 1e-9
+
+
+def test_driver_registry_invariants():
+    """Guard the rotation bookkeeping that bit twice this round: the
+    sampled 50-query prefix must contain every query that has never had a
+    driver row (everything registered in round 5), queries/oracles must
+    agree, and no key may be silently swallowed by a duplicate literal."""
+    import re
+
+    import __ray_entry__ as e
+
+    q = list(e.queries())
+    o = e.oracle_sql()
+    assert set(q) == set(o), sorted(set(q) ^ set(o))
+    # bpe_token_counts_docs is the canonical last never-green entry of the
+    # round-5 window plan; everything registered after it is r3/r4-green
+    assert q.index("bpe_token_counts_docs") <= 49
+    src = open(e.__file__.replace(".pyc", ".py")).read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    keys = re.findall(r'^\s+"([a-z0-9_]+)":', m.group(1), re.M)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate dict literals (first wins silently): {dupes}"
