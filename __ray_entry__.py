@@ -2451,6 +2451,128 @@ def q_sessions_per_user(sf_dir: str):
     )
 
 
+def q_snb_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández–Stolfo) over doc length:
+    candidate pairs within rank distance 3 of the total order
+    (n_chars, doc_id) — the ORDER-based ER candidate rule hash blocking
+    can't express. Two narrow (key, id) exchanges; per-bucket carry-in of
+    the previous w−1 rows keeps every cross-bucket window pair
+    (stages/snb.py::sorted_neighborhood_pairs)."""
+    from splink_ray.stages.snb import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", window=4, num_range_buckets=64,
+    )
+
+
+def q_kmv_distinct_users(sf_dir: str):
+    """KMV bottom-k sketch (k=64) estimate of distinct users per event
+    type — the mergeable approximate-distinct scale path next to the exact
+    distinct_users_per_type query; only per-batch k-smallest hash partials
+    shuffle (stages/stats.py::kmv_distinct). Deterministic md5-derived
+    uniform hash → the SQL oracle computes the identical estimate."""
+    from splink_ray.stages.stats import kmv_distinct
+
+    out = kmv_distinct(
+        _ds(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=64,
+    )
+
+    def _r(t: pa.Table) -> pa.Table:
+        e = t["est_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "est_distinct": pa.array(
+                    round_half_away(e, 6), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(_r, batch_format="pyarrow")
+
+
+def q_order_regression_by_priority(sf_dir: str):
+    """Per-priority OLS regression of order value (whole dollars) on order
+    date (epoch days) — integer (n, Σx, Σy, Σx², Σxy) moment partials, one
+    small groupby, slope/intercept a pure double law of integer moments
+    (stages/stats.py::grouped_regression); same moment-domain contract as
+    order_corr_by_priority."""
+    from splink_ray.stages.stats import grouped_regression
+
+    orders = _ds(
+        sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def _xy(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        y = round_half_away(np.asarray(p, np.float64), 0).astype(np.int64)
+        d = t["o_orderdate"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        x = pc.divide(
+            pc.cast(d, pa.int64()), pa.scalar(86_400_000_000, pa.int64())
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "x": x,
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    xy = orders.map_batches(_xy, batch_format="pyarrow")
+    reg = grouped_regression(xy, "o_orderpriority", "x", "y")
+
+    def _r(t: pa.Table) -> pa.Table:
+        s = t["slope"].to_numpy(zero_copy_only=False)
+        i = t["intercept"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": t["n"],
+                "slope": pa.array(
+                    round_half_away(s, 6), pa.float64(), mask=~np.isfinite(s)
+                ),
+                "intercept": pa.array(
+                    round_half_away(i, 6), pa.float64(), mask=~np.isfinite(i)
+                ),
+            }
+        )
+
+    return reg.map_batches(_r, batch_format="pyarrow")
+
+
+def q_clustering_coeff_docs(sf_dir: str):
+    """Per-node local clustering coefficient over the sparse-cosine ≥0.85
+    doc-similarity graph — composes the triangle enumeration with a degree
+    count off ONE materialized edge projection; cc = 2T/(d(d−1)) is a pure
+    double law of two int64 counts
+    (pipelines/clustering.py::clustering_coefficient)."""
+    from splink_ray.pipelines.clustering import clustering_coefficient
+    from splink_ray.stages.dedup import token_cosine_pairs
+
+    edges = token_cosine_pairs(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.85, max_df=600,
+    ).select_columns(["id_l", "id_r"])
+    cc = clustering_coefficient(edges)
+
+    def _r(t: pa.Table) -> pa.Table:
+        v = t["cc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": t["node"],
+                "degree": t["degree"],
+                "n_triangles": t["n_triangles"],
+                "cc": pa.array(round_half_away(v, 6), pa.float64()),
+            }
+        )
+
+    return cc.map_batches(_r, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2473,7 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotation re-run (those keep their r3 driver rows); (7) the third batch
     (semi/anti joins, interval join, weighted/rank/string_agg operators),
     each displacing an r4-green-and-unchanged re-run. Entries beyond the
-    window are all r3/r4 hash-green; the full 98-query set is re-verified
+    window are all r3/r4 hash-green; the full 121-query set is re-verified
     at 32-CPU driver parallelism by tools/check_entry.py (see BASELINE.md
     round-5 notes)."""
     return {
@@ -2484,10 +2606,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_pairs_salted": q_blocking_pairs_salted,
         "multi_rule_match_key": q_multi_rule_match_key,
         "predict_threshold_count": q_predict_threshold_count,
-        "find_matches_new": q_find_matches_new,
-        "deterministic_link_count": q_deterministic_link_count,
-        "clusters_exact_text": q_clusters_exact_text,
-        "link_only_pairs": q_link_only_pairs,
+        # --- eleventh batch (sorted-neighborhood blocking, KMV distinct
+        # sketch, grouped OLS regression, local clustering coefficient);
+        # slots from the r3-green rotation re-runs find_matches_new /
+        # deterministic_link_count / clusters_exact_text / link_only_pairs
+        # (ever-green via their r3 rows; the blocking/linkage family keeps
+        # in-window coverage through count_comparisons,
+        # blocking_pairs_salted, multi_rule_match_key,
+        # predict_threshold_count and flagship_clusters) ---
+        "snb_pairs_docs": q_snb_pairs_docs,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "order_regression_by_priority": q_order_regression_by_priority,
+        "clustering_coeff_docs": q_clustering_coeff_docs,
         # --- new round-5 operators, second batch (each takes a window slot
         # from an r3-green rotation re-run — those stay ever-green via their
         # r3 driver rows, while a brand-new query here gets its ONLY row) ---
@@ -2588,6 +2718,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch and keep their r3 rows; ngram_jaccard_pairs/
         # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
         # displaced by the third batch and keep their r4 rows) ---
+        # (displaced by the eleventh batch — ever-green via their r3 rows)
+        "find_matches_new": q_find_matches_new,
+        "deterministic_link_count": q_deterministic_link_count,
+        "clusters_exact_text": q_clusters_exact_text,
+        "link_only_pairs": q_link_only_pairs,
         "predict_scores": q_predict_scores,
         "gamma_customer": q_gamma_customer,
         "tf_mktsegment": q_tf_mktsegment,
@@ -3869,6 +4004,81 @@ def oracle_sql() -> dict[str, str]:
             "round((sxy / n - (sx / n) * (sy / n)) / "
             "sqrt((sxx / n - (sx / n) * (sx / n)) * "
             "(syy / n - (sy / n) * (sy / n))), 6) AS corr FROM g"
+        ),
+        "snb_pairs_docs": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) rk FROM documents) "
+            "SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+            "CAST(b.rk - a.rk AS BIGINT) AS dist "
+            "FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3"
+        ),
+        "kmv_distinct_users": (
+            # identical hash law + estimate law as the engine:
+            # u = (u32(md5(v)) + 0.5)/2^32, est = (k-1)/u_(k), exact
+            # distinct-hash count when the sketch never fills (k=64)
+            "WITH dh AS (SELECT DISTINCT event_type, "
+            "((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+            "::UBIGINT + 0.5) / 4294967296.0) AS u FROM events), "
+            "r AS (SELECT event_type, u, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) nd FROM dh) "
+            "SELECT event_type, round(CASE WHEN nd >= 64 "
+            "THEN (64 - 1.0) / u ELSE CAST(nd AS DOUBLE) END, 6) "
+            "AS est_distinct FROM r "
+            "WHERE rn = CASE WHEN nd >= 64 THEN 64 ELSE nd END"
+        ),
+        "order_regression_by_priority": (
+            # engine evaluates the identical slope/intercept law from the
+            # same integer moments (x = epoch day, y = whole dollars)
+            "WITH b AS (SELECT o_orderpriority, "
+            "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS x, "
+            "CAST(round(o_totalprice) AS BIGINT) AS y FROM orders), "
+            "g AS (SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(x * x) AS DOUBLE) AS sxx, "
+            "CAST(sum(x * y) AS DOUBLE) AS sxy "
+            "FROM b GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, CAST(n AS BIGINT) AS n, "
+            "round((sxy / n - (sx / n) * (sy / n)) / "
+            "(sxx / n - (sx / n) * (sx / n)), 6) AS slope, "
+            "round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / "
+            "(sxx / n - (sx / n) * (sx / n))) * (sx / n), 6) AS intercept "
+            "FROM g"
+        ),
+        "clustering_coeff_docs": (
+            # doc_triangles' edge CTEs + a degree CTE; cc is the same
+            # double law the engine computes: 2.0*T/(d*(d-1.0))
+            "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS "
+            "term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+            "nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 "
+            "FROM tf GROUP BY doc_id), "
+            "df AS (SELECT term FROM tf GROUP BY term "
+            "HAVING count(*) BETWEEN 2 AND 600), "
+            "dots AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, "
+            "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot FROM tf a "
+            "JOIN tf b USING (term) JOIN df USING (term) "
+            "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "e AS (SELECT id_l, id_r FROM dots "
+            "JOIN nrm nl ON nl.doc_id = dots.id_l "
+            "JOIN nrm nr ON nr.doc_id = dots.id_r "
+            "WHERE dot / (sqrt(nl.n2) * sqrt(nr.n2)) >= 0.85), "
+            "tri AS (SELECT e1.id_l AS a, e1.id_r AS b, e2.id_r AS c "
+            "FROM e e1 JOIN e e2 ON e2.id_l = e1.id_r "
+            "JOIN e e3 ON e3.id_l = e1.id_l AND e3.id_r = e2.id_r), "
+            "tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri) GROUP BY node), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
+            "(SELECT id_l AS node FROM e UNION ALL SELECT id_r FROM e) "
+            "GROUP BY node) "
+            "SELECT d.node, d.degree, "
+            "COALESCE(t.n_triangles, 0) AS n_triangles, "
+            "CASE WHEN d.degree > 1 THEN round((2.0 * "
+            "COALESCE(t.n_triangles, 0)) / (d.degree * (d.degree - 1.0)), "
+            "6) ELSE 0.0 END AS cc "
+            "FROM deg d LEFT JOIN tcnt t USING (node)"
         ),
         "contaminated_docs": (
             "SELECT d.doc_id FROM documents d WHERE EXISTS ("

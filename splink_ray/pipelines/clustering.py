@@ -875,3 +875,92 @@ def triangle_counts(pairs, id_l: str = "id_l", id_r: str = "id_r", num_buckets=N
         )
     )
     return agg.union(seed)
+
+def clustering_coefficient(pairs, id_l: str = "id_l", id_r: str = "id_r", num_buckets=None):
+    """Per-node local clustering coefficient over an undirected edge list
+    (canonical ``id_l < id_r`` orientation, distinct edges):
+    ``cc = 2·T / (deg·(deg−1))`` with ``cc = 0`` for degree-1 nodes.
+    Returns ``(node, degree, n_triangles, cc)`` for every node with at
+    least one edge.
+
+    Composition of the two existing graph primitives, sharing ONE
+    materialized narrow edge projection: :func:`triangle_counts` (two
+    keyed exchanges) and a degree count (per-batch endpoint value_counts
+    partials, one tiny groupby). Degree/triangle partials are the only
+    extra rows that ever shuffle; ``cc`` is a pure double law of two int64
+    counts, so a SQL oracle computing ``2.0·T/(d·(d−1.0))`` agrees
+    bitwise."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import _as_schema
+
+    id_type = _as_schema(pairs).field(id_l).type
+    edges = pairs.select_columns([id_l, id_r]).materialize()
+    tri = triangle_counts(edges, id_l, id_r, num_buckets=num_buckets)
+
+    def _deg_rows(t: pa.Table) -> pa.Table:
+        cols = []
+        for c in (id_l, id_r):
+            a = t[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            cols.append(a.cast(id_type))
+        vc = pa.concat_arrays(cols).value_counts()
+        n = len(vc)
+        return pa.table(
+            {
+                "node": vc.field("values"),
+                "degree": pc.cast(vc.field("counts"), pa.int64()),
+                "n_triangles": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def _tri_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], id_type),
+                    "degree": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "node": t["node"],
+                "degree": pa.array(np.zeros(len(t), np.int64)),
+                "n_triangles": pc.cast(t["n_triangles"], pa.int64()),
+            }
+        )
+
+    union = edges.map_batches(_deg_rows, batch_format="pyarrow").union(
+        tri.map_batches(_tri_rows, batch_format="pyarrow")
+    )
+    agg = union.groupby("node").aggregate(
+        Sum("degree", alias_name="degree"),
+        Sum("n_triangles", alias_name="n_triangles"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "degree" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], id_type),
+                    "degree": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                    "cc": pa.array([], pa.float64()),
+                }
+            )
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cc = np.where(d > 1, (2.0 * tr) / (d * (d - 1.0)), 0.0)
+        return pa.table(
+            {
+                "node": t["node"],
+                "degree": pc.cast(t["degree"], pa.int64()),
+                "n_triangles": pc.cast(t["n_triangles"], pa.int64()),
+                "cc": pa.array(cc, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -1055,3 +1055,191 @@ def grouped_string_agg(
 
     proj = ds.select_columns([group_col, value_col] + order_cols)
     return keyed_map(proj, group_col, _bucket, num_buckets=num_buckets)
+
+def grouped_regression(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group simple linear regression (OLS) of ``y`` on ``x`` over two
+    integer columns — one row per group: ``(group, n, slope, intercept)``.
+
+    Identical scale shape to :func:`grouped_corr`: each batch reduces to
+    exact integer moment partials ``(group, n, Σx, Σy, Σx², Σxy)``
+    (group-domain sized — raw rows never shuffle), ONE small groupby sums
+    them, and the driver-bounded finish evaluates the closed form
+
+    ``slope = (sxy/n − mx·my) / (sxx/n − mx²)``,
+    ``intercept = my − slope·mx``
+
+    — pure double functions of integer moments, bitwise-equal to a SQL
+    engine computing the same expression (so the oracle is the moment SQL,
+    NOT DuckDB's ``regr_slope``, whose streaming accumulator rounds
+    differently). Zero-variance-x groups yield null slope/intercept.
+    Callers own the int64 moment-overflow domain contract (|x|·√n within
+    ~3·10⁹, same as :func:`grouped_corr`)."""
+    from ray.data.aggregate import Sum
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t[x_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        y = t[y_col]
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        g = (
+            pa.table(
+                {
+                    group_col: t[group_col],
+                    "__x": x,
+                    "__y": y,
+                    "__xx": pc.multiply(x, x),
+                    "__xy": pc.multiply(x, y),
+                }
+            )
+            .group_by(group_col, use_threads=False)
+            .aggregate(
+                [("__x", "sum"), ("__y", "sum"), ("__xx", "sum"),
+                 ("__xy", "sum"), ([], "count_all")]
+            )
+        )
+        return g.rename_columns([group_col, "sx", "sy", "sxx", "sxy", "n"])
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            *(Sum(c, alias_name=c) for c in ("sx", "sy", "sxx", "sxy", "n"))
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        gtype = (
+            t.schema.field(group_col).type
+            if group_col in t.column_names
+            else pa.string()
+        )
+        if len(t) == 0 or "sx" not in t.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "n": pa.array([], pa.int64()),
+                    "slope": pa.array([], pa.float64()),
+                    "intercept": pa.array([], pa.float64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx, my = sx / n, sy / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (sxy / n - mx * my) / (sxx / n - mx * mx)
+            intercept = my - slope * mx
+        bad = ~np.isfinite(slope)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n": pc.cast(t["n"], pa.int64()),
+                "slope": pa.array(slope, pa.float64(), mask=bad),
+                "intercept": pa.array(intercept, pa.float64(), mask=bad),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64, num_buckets=None):
+    """Per-group KMV (k-minimum-values) approximate distinct count — the
+    classic bottom-k sketch (Bar-Yossef et al. 2002): hash every value to a
+    uniform ``u ∈ (0,1)``, keep the k smallest distinct hashes per group,
+    and estimate ``(k−1)/u_(k)``; groups whose sketch never fills report
+    the exact distinct-hash count. Returns ``(group, est_distinct)``.
+
+    Scale shape — the whole point of a sketch: each batch reduces to its
+    per-group k smallest distinct hashes, so the ONLY rows that shuffle
+    are ≤ k·groups per batch regardless of row count; ONE group-keyed
+    exchange merges sketches (distinct ∪ sort ∪ first-k — the standard KMV
+    union). The k smallest global hashes all survive per-batch pruning, and
+    when the global count is < k no pruning ever occurs, so the merged
+    sketch is EXACTLY the sketch a single machine would build —
+    deterministic, partitioning-invariant, and reproducible in SQL (the
+    oracle computes the same md5-derived ``u`` and the same estimate law,
+    see ``__ray_entry__._kmv_sql``). Hash: the repo's deterministic-
+    sampling law ``u = (u32(md5(CAST(v AS VARCHAR))) + 0.5) / 2³²``
+    (`duckdb_kernels.DuckKernel.md5_u32` — bit-parity with the oracle by
+    construction)."""
+    from ..duckdb_kernels import get_kernel
+    from .exchange import group_starts, keyed_map
+    from .joins import _as_schema
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gtype = _as_schema(ds).field(group_col).type
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                group_col: pa.array([], gtype),
+                "u": pa.array([], pa.float64()),
+            }
+        )
+
+    def _prune(t: pa.Table) -> pa.Table:
+        # distinct per (group, u), sort (group, u), keep first k per group
+        idx = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), ("u", "ascending")]
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        n = len(t)
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        return t.filter(pa.array(rank < k))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty()
+        d = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([])
+        )
+        h = get_kernel().md5_u32(d[value_col])
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        sk = pa.table(
+            {group_col: d[group_col], "u": pa.array(u, pa.float64())}
+        )
+        # collisions merge (KMV semantics — the oracle hashes identically)
+        sk = sk.group_by([group_col, "u"], use_threads=False).aggregate([])
+        return _prune(sk)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(t: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                group_col: pa.array([], gtype),
+                "est_distinct": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0 or "u" not in t.column_names:
+            return out_empty
+        d = t.group_by([group_col, "u"], use_threads=False).aggregate([])
+        d = _prune(d)
+        g = d[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        sizes = np.diff(np.append(starts, len(d)))
+        u = d["u"].to_numpy(zero_copy_only=False)
+        kth = u[starts + np.minimum(sizes, k) - 1]
+        est = np.where(sizes >= k, (k - 1.0) / kth, sizes.astype(np.float64))
+        return pa.table(
+            {
+                group_col: g.take(pa.array(starts)),
+                "est_distinct": pa.array(est, pa.float64()),
+            }
+        )
+
+    return keyed_map(partials, group_col, _merge, num_buckets=num_buckets)

@@ -1,0 +1,175 @@
+"""Round-5 batch 11 operators: sorted-neighborhood blocking (stages/snb.py),
+KMV distinct sketch + grouped OLS regression (stages/stats.py), and the
+local clustering coefficient (pipelines/clustering.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _snb_reference(vals, ids, window):
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], ids[i]))
+    out = set()
+    for pos in range(len(order)):
+        for d in range(1, window):
+            if pos + d < len(order):
+                out.add((ids[order[pos]], ids[order[pos + d]], d))
+    return out
+
+
+def test_snb_matches_window_self_join(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.snb import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(5)
+    n = 800
+    vals = rng.integers(0, 120, n)  # heavy ties stress the id tie-break
+    ids = np.arange(1000, 1000 + n)
+    rng.shuffle(ids)
+    t = pa.table({"v": vals, "id": ids})
+    out = sorted_neighborhood_pairs(
+        rd.from_arrow(t).repartition(7), "v", "id",
+        window=5, num_range_buckets=16,
+    ).to_pandas()
+    got = set(zip(out["id_l"], out["id_r"], out["dist"]))
+    exp = _snb_reference(vals.tolist(), ids.tolist(), 5)
+    assert got == exp
+    assert len(out) == len(exp)  # no duplicate emissions
+
+
+def test_snb_partitioning_and_bucket_count_invariance(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.snb import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "v": rng.integers(-50, 50, 300),  # negative keys
+            "id": np.arange(300),
+        }
+    )
+
+    def run(parts, rb):
+        out = sorted_neighborhood_pairs(
+            rd.from_arrow(t).repartition(parts), "v", "id",
+            window=3, num_range_buckets=rb,
+        ).to_pandas()
+        return set(zip(out["id_l"], out["id_r"], out["dist"]))
+
+    a = run(2, 4)
+    # more range buckets than rows forces empty buckets + tiny carries
+    b = run(9, 512)
+    assert a == b == _snb_reference(
+        t["v"].to_pylist(), t["id"].to_pylist(), 3
+    )
+
+
+def test_kmv_matches_single_machine_sketch(ray_session):
+    import ray.data as rd
+
+    from splink_ray.duckdb_kernels import get_kernel
+    from splink_ray.stages.stats import kmv_distinct
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    g = rng.choice(["big", "mid", "tiny"], n, p=[0.6, 0.35, 0.05])
+    v = np.where(
+        g == "tiny", rng.integers(0, 5, n), rng.integers(0, 2000, n)
+    )
+    t = pa.table({"g": g, "v": v})
+    k = 32
+    out = (
+        kmv_distinct(rd.from_arrow(t).repartition(8), "g", "v", k=k)
+        .to_pandas().set_index("g")["est_distinct"]
+    )
+
+    # single-machine reference sketch with the same hash law
+    for grp in ("big", "mid", "tiny"):
+        vals = pa.array(sorted({int(x) for x in v[g == grp]}))
+        h = get_kernel().md5_u32(vals)
+        u = np.unique((h.astype(np.float64) + 0.5) / 4294967296.0)
+        if len(u) >= k:
+            exp = (k - 1.0) / u[k - 1]
+        else:
+            exp = float(len(u))
+        assert out[grp] == exp
+    # the sketch estimate lands near the truth when it fills
+    truth = len(np.unique(v[g == "big"]))
+    assert abs(out["big"] - truth) / truth < 0.35
+    # 'tiny' never fills -> exact distinct count
+    assert out["tiny"] == float(len(np.unique(v[g == "tiny"])))
+
+
+def test_grouped_regression_matches_numpy_polyfit(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_regression
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    g = rng.choice(["a", "b"], n)
+    x = rng.integers(0, 1000, n)
+    noise = rng.integers(-40, 41, n)
+    y = np.where(g == "a", 3 * x + 17, -2 * x + 999) + noise
+    t = pa.table({"g": g, "x": x, "y": y})
+    out = (
+        grouped_regression(rd.from_arrow(t).repartition(5), "g", "x", "y")
+        .to_pandas().set_index("g")
+    )
+    for grp in ("a", "b"):
+        m = g == grp
+        slope, intercept = np.polyfit(
+            x[m].astype(float), y[m].astype(float), 1
+        )
+        assert abs(out.loc[grp, "slope"] - slope) < 1e-6
+        assert abs(out.loc[grp, "intercept"] - intercept) < 1e-3
+        assert out.loc[grp, "n"] == int(m.sum())
+
+
+def test_grouped_regression_zero_variance_x_is_null(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_regression
+
+    t = pa.table({"g": ["z"] * 4, "x": [7, 7, 7, 7], "y": [1, 2, 3, 4]})
+    out = grouped_regression(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    assert out["slope"].isna().all()
+    assert out["intercept"].isna().all()
+
+
+def test_clustering_coefficient_matches_reference(ray_session):
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import clustering_coefficient
+
+    # two triangles sharing node 2, plus a pendant node 9 and an isolated
+    # edge (10, 11)
+    e = [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4), (4, 9), (10, 11)]
+    t = pa.table(
+        {
+            "id_l": pa.array([a for a, _ in e], pa.int64()),
+            "id_r": pa.array([b for _, b in e], pa.int64()),
+        }
+    )
+    out = (
+        clustering_coefficient(rd.from_arrow(t).repartition(3))
+        .to_pandas().set_index("node").sort_index()
+    )
+    adj: dict[int, set] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(
+            1
+            for i in nbrs
+            for j in nbrs
+            if i < j and j in adj.get(i, set())
+        )
+        assert out.loc[node, "degree"] == d
+        assert out.loc[node, "n_triangles"] == tri
+        exp_cc = 2.0 * tri / (d * (d - 1.0)) if d > 1 else 0.0
+        assert out.loc[node, "cc"] == exp_cc
+    assert set(out.index) == set(adj)
