@@ -2573,6 +2573,104 @@ def q_clustering_coeff_docs(sf_dir: str):
     return cc.map_batches(_r, batch_format="pyarrow")
 
 
+def q_containment_against_docs(sf_dir: str):
+    """Dedup: cross-corpus CONTAINMENT decontamination — corpus docs whose
+    token sets cover ≥ 0.8 of a reference doc's tokens (the asymmetric
+    benchmark-contamination metric: a long doc swallowing a short benchmark
+    scores 1.0 where Jaccard dilutes). Reference set: doc_id % 41 == 0 docs
+    with their last 3 words dropped. EXACT recall by the one-sided prefix
+    filter on the REFERENCE side (stages/dedup.py::
+    prefix_containment_against), so the engine computes the same function
+    as the exhaustive cross-join oracle by construction."""
+    from splink_ray.stages.corpus import _token_lists, _window_join
+    from splink_ray.stages.dedup import prefix_containment_against
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ref(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray
+        ) else t["doc_id"]
+        t = t.filter(
+            pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 41), 41)), 0)
+        )
+        flat, ntok = _token_lists(t["text"])
+        starts = (
+            np.concatenate([[0], np.cumsum(ntok)[:-1]])
+            if len(ntok)
+            else np.empty(0, np.int64)
+        )
+        txt = _window_join(
+            flat, starts.astype(np.int64), np.maximum(np.asarray(ntok) - 3, 0)
+        )
+        return pa.table({"ref_id": t["doc_id"], "rt": txt})
+
+    ref = ds.map_batches(_ref, batch_format="pyarrow")
+    return prefix_containment_against(
+        ds, ref, "text", "doc_id",
+        ref_text_col="rt", ref_id_col="ref_id", threshold=0.8,
+    )
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Events: daily cohort retention matrix — users cohorted by first
+    active day, distinct actives per (cohort, day offset). Only DISTINCT
+    (user, day) partials shuffle; ONE user-keyed exchange derives cohort +
+    offsets (stages/events.py::cohort_retention)."""
+    from splink_ray.stages.events import cohort_retention
+
+    return cohort_retention(
+        _ds(sf_dir, "events", ["user_id", "ts"]),
+        "user_id", "ts", period_days=1,
+    )
+
+
+def q_snb_multikey_pairs(sf_dir: str):
+    """Multi-pass sorted-neighborhood blocking (the Hernández–Stolfo
+    multi-key variant): union-distinct of window-4 SNB passes over two
+    independent sort keys (doc length in chars, doc length in tokens),
+    pairs canonicalized (min, max) — the standard recall amplifier for a
+    single bad sort key. Pure composition: two snb passes + one id-keyed
+    distinct exchange."""
+    from splink_ray.stages.corpus import _token_lists
+    from splink_ray.stages.exchange import keyed_map
+    from splink_ray.stages.snb import sorted_neighborhood_pairs
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        _, ntok = _token_lists(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ntok": pa.array(np.asarray(ntok, np.int64), pa.int64()),
+            }
+        )
+
+    by_chars = sorted_neighborhood_pairs(
+        docs.select_columns(["doc_id", "n_chars"]),
+        "n_chars", "doc_id", window=4, num_range_buckets=64,
+    )
+    by_toks = sorted_neighborhood_pairs(
+        docs.map_batches(_ntok, batch_format="pyarrow"),
+        "ntok", "doc_id", window=4, num_range_buckets=64,
+    )
+
+    def _canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["id_l"], t["id_r"])
+        hi = pc.max_element_wise(t["id_l"], t["id_r"])
+        return pa.table({"id_l": lo, "id_r": hi})
+
+    u = by_chars.map_batches(_canon, batch_format="pyarrow").union(
+        by_toks.map_batches(_canon, batch_format="pyarrow")
+    )
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_l", "id_r"], use_threads=False).aggregate([])
+
+    return keyed_map(u, "id_l", _distinct)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2595,17 +2693,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotation re-run (those keep their r3 driver rows); (7) the third batch
     (semi/anti joins, interval join, weighted/rank/string_agg operators),
     each displacing an r4-green-and-unchanged re-run. Entries beyond the
-    window are all r3/r4 hash-green; the full 121-query set is re-verified
+    window are all r3/r4 hash-green; the full 124-query set is re-verified
     at 32-CPU driver parallelism by tools/check_entry.py (see BASELINE.md
     round-5 notes)."""
     return {
         # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
         # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
-        "count_comparisons": q_count_comparisons,
-        "blocking_pairs_salted": q_blocking_pairs_salted,
-        "multi_rule_match_key": q_multi_rule_match_key,
         "predict_threshold_count": q_predict_threshold_count,
+        # --- twelfth batch (containment decontamination, cohort retention,
+        # multi-pass SNB); slots from the r3-green rotation re-runs
+        # count_comparisons / blocking_pairs_salted / multi_rule_match_key
+        # (ever-green via their r3 rows; the blocking family keeps
+        # in-window coverage via predict_threshold_count, snb_pairs_docs,
+        # snb_multikey_pairs and flagship_clusters) ---
+        "containment_against_docs": q_containment_against_docs,
+        "cohort_retention_events": q_cohort_retention_events,
+        "snb_multikey_pairs": q_snb_multikey_pairs,
         # --- eleventh batch (sorted-neighborhood blocking, KMV distinct
         # sketch, grouped OLS regression, local clustering coefficient);
         # slots from the r3-green rotation re-runs find_matches_new /
@@ -2718,7 +2822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch and keep their r3 rows; ngram_jaccard_pairs/
         # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
         # displaced by the third batch and keep their r4 rows) ---
-        # (displaced by the eleventh batch — ever-green via their r3 rows)
+        # (displaced by the eleventh/twelfth batches — ever-green via r3)
+        "count_comparisons": q_count_comparisons,
+        "blocking_pairs_salted": q_blocking_pairs_salted,
+        "multi_rule_match_key": q_multi_rule_match_key,
         "find_matches_new": q_find_matches_new,
         "deterministic_link_count": q_deterministic_link_count,
         "clusters_exact_text": q_clusters_exact_text,
@@ -4004,6 +4111,47 @@ def oracle_sql() -> dict[str, str]:
             "round((sxy / n - (sx / n) * (sy / n)) / "
             "sqrt((sxx / n - (sx / n) * (sx / n)) * "
             "(syy / n - (sy / n) * (sy / n))), 6) AS corr FROM g"
+        ),
+        "containment_against_docs": (
+            # exhaustive cross join — the engine's prefix-filter candidate
+            # scheme is exact-recall, so it computes the same function
+            "WITH w AS (SELECT doc_id, str_split(text, ' ') AS w "
+            "FROM documents), "
+            "ref AS (SELECT doc_id AS ref_id, array_to_string("
+            "list_slice(w, 1, greatest(len(w) - 3, 0)), ' ') AS rt "
+            "FROM w WHERE doc_id % 41 = 0), "
+            "pairs AS (SELECT d.doc_id, r.ref_id, "
+            "len(list_intersect(list_distinct(str_split(d.text, ' ')), "
+            "list_distinct(str_split(r.rt, ' '))))::DOUBLE / "
+            "len(list_distinct(str_split(r.rt, ' '))) AS c "
+            "FROM documents d CROSS JOIN ref r) "
+            "SELECT doc_id, ref_id, round(c, 6) AS containment "
+            "FROM pairs WHERE c >= 0.8"
+        ),
+        "cohort_retention_events": (
+            "WITH up AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS p FROM events), "
+            "c AS (SELECT user_id, p, "
+            "MIN(p) OVER (PARTITION BY user_id) AS cohort FROM up) "
+            "SELECT CAST(cohort AS BIGINT) AS cohort_period, "
+            "CAST(p - cohort AS BIGINT) AS offset_periods, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY 1, 2"
+        ),
+        "snb_multikey_pairs": (
+            "WITH d AS (SELECT doc_id, n_chars, "
+            "len(list_filter(str_split(text, ' '), x -> x <> '')) AS ntok "
+            "FROM documents), "
+            "r1 AS (SELECT doc_id, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) rk FROM d), "
+            "r2 AS (SELECT doc_id, "
+            "ROW_NUMBER() OVER (ORDER BY ntok, doc_id) rk FROM d) "
+            "SELECT least(a.doc_id, b.doc_id) AS id_l, "
+            "greatest(a.doc_id, b.doc_id) AS id_r "
+            "FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND 3 "
+            "UNION "
+            "SELECT least(a.doc_id, b.doc_id), "
+            "greatest(a.doc_id, b.doc_id) "
+            "FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 3"
         ),
         "snb_pairs_docs": (
             "WITH r AS (SELECT doc_id, n_chars, "

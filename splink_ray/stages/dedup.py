@@ -369,10 +369,13 @@ def simhash_pairs(
 
 
 
-def _jaccard_tokens_loop(l_arr, r_arr) -> np.ndarray:
+def _jaccard_tokens_loop(l_arr, r_arr, containment_r: bool = False) -> np.ndarray:
     """Per-pair python-set jaccard with per-BATCH memoized token sets —
     fallback / tiny-batch path (kept as the reference implementation the
-    vectorized version is property-tested against)."""
+    vectorized version is property-tested against).
+
+    ``containment_r=True`` switches the score to right-side containment
+    ``|A∩B| / |B|`` (empty B → 1.0) — the benchmark-contamination metric."""
     a = l_arr.to_pylist()
     b = r_arr.to_pylist()
     cache: dict = {}
@@ -387,8 +390,11 @@ def _jaccard_tokens_loop(l_arr, r_arr) -> np.ndarray:
     for i, (x, y) in enumerate(zip(a, b)):
         sx, sy = toks(x), toks(y)
         inter = len(sx & sy)
-        union = len(sx) + len(sy) - inter
-        out[i] = (inter / union) if union else 1.0
+        if containment_r:
+            out[i] = (inter / len(sy)) if sy else 1.0
+        else:
+            union = len(sx) + len(sy) - inter
+            out[i] = (inter / union) if union else 1.0
     return out
 
 
@@ -406,7 +412,7 @@ def _scratch(name: str, size: int) -> np.ndarray:
     return buf[:size]
 
 
-def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
+def _jaccard_tokens_fast(l_arr, r_arr, containment_r: bool = False) -> np.ndarray:
     """Exact whitespace-token-set jaccard, vectorized (round-2 verdict #9).
 
     Each DISTINCT document is tokenized once (dictionary-encode both sides);
@@ -414,7 +420,10 @@ def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
     intersection sizes come from one ``searchsorted`` over composite
     ``pair_idx * n_tokens + token_id`` keys — no per-pair Python set ops.
     (A DuckDB list-ops rendering was tried and measured 40× SLOWER than even
-    the python set loop — list materialization per row.)"""
+    the python set loop — list materialization per row.)
+
+    ``containment_r=True`` returns right-side containment ``|A∩B| / |B|``
+    (empty B → 1.0) from the same intersection pass."""
     if isinstance(l_arr, pa.ChunkedArray):
         l_arr = l_arr.combine_chunks()
     if isinstance(r_arr, pa.ChunkedArray):
@@ -423,7 +432,7 @@ def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
     if n_pairs == 0:
         return np.empty(0, np.float64)
     if n_pairs < 64:
-        return _jaccard_tokens_loop(l_arr, r_arr)
+        return _jaccard_tokens_loop(l_arr, r_arr, containment_r)
 
     enc = pc.fill_null(
         pa.chunked_array([l_arr, r_arr]).combine_chunks(), ""
@@ -485,6 +494,8 @@ def _jaccard_tokens_fast(l_arr, r_arr) -> np.ndarray:
     else:
         inter = np.zeros(n_pairs, np.int64)
     size_l, size_r = seg_len[l_codes], seg_len[r_codes]
+    if containment_r:
+        return np.where(size_r > 0, inter / np.maximum(size_r, 1), 1.0)
     union = size_l + size_r - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
@@ -1145,15 +1156,20 @@ def ngram_jaccard_against(
 
 
 def _verify_cross_pairs(
-    cand, ds, ref_ds, text_col, id_col, rtc, ric, threshold
+    cand, ds, ref_ds, text_col, id_col, rtc, ric, threshold,
+    metric: str = "jaccard",
 ):
-    """Shared exact-Jaccard verify for cross-corpus candidate pairs: join
-    both texts back, compute exact token Jaccard, keep >= threshold."""
+    """Shared exact verify for cross-corpus candidate pairs: join both
+    texts back, compute the exact token-set score (``jaccard`` or
+    right-side ``containment``), keep >= threshold."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    cont = metric == "containment"
     j = _attach_pair_texts(cand, ds, ref_ds, id_col, text_col, ric=ric, rtc=rtc)
 
     def _verify(t: pa.Table) -> pa.Table:
         jac = (
-            _jaccard_tokens_fast(t["__text_l"], t["__text_r"])
+            _jaccard_tokens_fast(t["__text_l"], t["__text_r"], cont)
             if len(t) else np.empty(0, np.float64)
         )
         keep = jac >= threshold
@@ -1161,7 +1177,7 @@ def _verify_cross_pairs(
             {
                 id_col: t["id_l"],
                 "ref_id": t["id_r"],
-                "jaccard": pa.array(round_half_away(jac, 6), pa.float64()),
+                metric: pa.array(round_half_away(jac, 6), pa.float64()),
             }
         )
         return out.filter(pa.array(keep))
@@ -1495,4 +1511,157 @@ def source_overlap(ds, text_col: str, source_col: str, num_buckets=None):
     partials = keyed_map(pairs, text_col, _bucket, num_buckets=num_buckets)
     return partials.groupby(["source_l", "source_r"]).aggregate(
         Sum("n_shared_texts", alias_name="n_shared_texts")
+    )
+
+def prefix_containment_against(
+    ds, ref_ds, text_col: str, id_col: str,
+    ref_text_col: str | None = None, ref_id_col: str | None = None,
+    threshold: float = 0.8, num_buckets=None,
+):
+    """EXACT-recall cross-corpus token-set CONTAINMENT join: (corpus id,
+    reference id, |A∩B|/|B|) pairs with containment ≥ threshold — the
+    standard benchmark-contamination metric (what fraction of the
+    reference/benchmark document's tokens appear in the corpus document),
+    asymmetric where :func:`prefix_jaccard_against` is symmetric: a long
+    corpus doc that swallows a short benchmark whole scores 1.0 regardless
+    of how much extra text it carries.
+
+    Exact recall by the one-sided prefix filter: if ``|A∩B| ≥ t·|B|`` then
+    A must share a token with B's first ``|B| − ⌈t·|B|⌉ + 1`` ordered
+    distinct tokens (else the intersection is ≤ ⌈t·|B|⌉ − 1 < t·|B|) — so
+    candidates keyed on the REFERENCE prefix tokens provably miss nothing.
+    Containment places no positional constraint on the corpus side, so the
+    corpus emits ALL its distinct tokens; the one-sided length filter
+    ``|A| ≥ t·|B|`` prunes in-bucket. Volume: ref-prefix df — a stop-token
+    in a short reference prefix candidates against every corpus doc
+    containing it (document the hazard; DF-ascending token ordering is the
+    standard constant-factor mitigation, same caveat as the jaccard
+    variant's lexical order). Verify recomputes the exact containment from
+    the texts, so output equals the exhaustive cross-join oracle by
+    construction (``__ray_entry__._containment_sql``)."""
+    from .corpus import _token_lists
+    from .exchange import group_starts, keyed_map
+
+    rtc = ref_text_col or text_col
+    ric = ref_id_col or id_col
+
+    def _tok_rows(idc, tc, side, prefix_only):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t[idc]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            empty = pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "__jid": ids.slice(0, 0),
+                    "__nd": pa.array([], pa.int64()),
+                    "__side": pa.array([], pa.int8()),
+                }
+            )
+            flat, ntok = _token_lists(t[tc])
+            if len(flat) == 0:
+                return empty
+            seg = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+            dt = (
+                pa.table({"__seg": pa.array(seg), "tok": flat})
+                .group_by(["__seg", "tok"], use_threads=False)
+                .aggregate([])
+                .sort_by([("__seg", "ascending"), ("tok", "ascending")])
+            )
+            segs = dt["__seg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(segs) == 0:
+                return empty
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(segs)) + 1])
+            lens = np.diff(np.append(starts, len(segs)))
+            nd = np.repeat(lens, lens)
+            if prefix_only:
+                rank = (
+                    np.arange(len(segs), dtype=np.int64)
+                    - np.repeat(starts, lens)
+                )
+                plen = nd - np.ceil(threshold * nd).astype(np.int64) + 1
+                keep = rank < plen
+            else:
+                keep = np.ones(len(segs), bool)
+            return pa.table(
+                {
+                    "tok": dt["tok"].filter(pa.array(keep)),
+                    "__jid": ids.take(pa.array(segs[keep])),
+                    "__nd": pa.array(nd[keep], pa.int64()),
+                    "__side": pa.array(
+                        np.full(int(keep.sum()), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return _f
+
+    sc = ds.select_columns([id_col, text_col]).map_batches(
+        _tok_rows(id_col, text_col, 0, prefix_only=False),
+        batch_format="pyarrow",
+    )
+    sr = ref_ds.select_columns([ric, rtc]).map_batches(
+        _tok_rows(ric, rtc, 1, prefix_only=True), batch_format="pyarrow"
+    )
+    exploded = sc.union(sr)
+
+    def _cand_bucket(t: pa.Table) -> pa.Table:
+        ts = t.sort_by(
+            [("tok", "ascending"), ("__side", "ascending"),
+             ("__jid", "ascending")]
+        )
+        ids = ts["__jid"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table(
+            {"id_l": pa.array([], ids.type), "id_r": pa.array([], ids.type)}
+        )
+        if len(ts) == 0:
+            return empty
+        side = ts["__side"].to_numpy(zero_copy_only=False)
+        nd = ts["__nd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = ts["tok"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        starts = group_starts(tok)
+        ends = np.append(starts[1:], len(ts))
+        li, ri = [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            n0 = int((sd == 0).sum())
+            n1 = (e - s) - n0
+            if n0 == 0 or n1 == 0:
+                continue
+            a = np.repeat(np.arange(s, s + n0, dtype=np.int64), n1)
+            b = np.tile(np.arange(s + n0, e, dtype=np.int64), n0)
+            li.append(a)
+            ri.append(b)
+        if not li:
+            return empty
+        cl, cr = np.concatenate(li), np.concatenate(ri)
+        # one-sided length filter: |A∩B| ≥ t·|B| needs |A| ≥ t·|B|
+        ok = nd[cl] >= threshold * nd[cr]
+        cl, cr = cl[ok], cr[ok]
+        if len(cl) == 0:
+            return empty
+        return (
+            pa.table(
+                {
+                    "id_l": ids.take(pa.array(cl)),
+                    "id_r": ids.take(pa.array(cr)),
+                }
+            )
+            .group_by(["id_l", "id_r"], use_threads=False)
+            .aggregate([])
+        )
+
+    cand = keyed_map(exploded, "tok", _cand_bucket, num_buckets=num_buckets)
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_l", "id_r"], use_threads=False).aggregate([])
+
+    cand = keyed_map(cand, "id_l", _distinct, num_buckets=num_buckets)
+    return _verify_cross_pairs(
+        cand, ds, ref_ds, text_col, id_col, rtc, ric, threshold,
+        metric="containment",
     )

@@ -408,3 +408,83 @@ def rolling_window_stats(
         )
 
     return keyed_map(ds, user_col, _bucket, num_buckets=num_buckets)
+
+def cohort_retention(
+    ds, user_col: str, ts_col: str, period_days: int = 7, num_buckets=None,
+):
+    """Cohort retention matrix: users are cohorted by the period (epoch
+    ``ts // period_days``) of their FIRST event; for every (cohort,
+    offset) cell, count the distinct users of that cohort active
+    ``offset`` periods after their first one. Returns
+    ``(cohort_period, offset_periods, n_users)`` — the classic
+    product-analytics rollup.
+
+    Scale shape: each batch reduces to DISTINCT ``(user, period)`` rows
+    (user × period-domain bounded — raw events never shuffle); ONE
+    user-keyed exchange re-distincts and, per user, derives the cohort
+    (min period) and emits one ``(cohort, offset)`` partial count per
+    active period — all vectorized run arithmetic; a final tiny groupby
+    over the (cohort × offset)-domain sums the partials.
+
+    Oracle: DISTINCT (user, period) CTE + MIN() OVER (PARTITION BY user)
+    + COUNT(*) GROUP BY (``__ray_entry__`` cohort_retention SQL)."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import group_starts
+
+    us = 86_400_000_000 * int(period_days)
+
+    def _user_periods(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        p = pc.divide(pc.cast(ts, pa.int64()), pa.scalar(us, pa.int64()))
+        g = (
+            pa.table({user_col: t[user_col], "__p": p})
+            .group_by([user_col, "__p"], use_threads=False)
+            .aggregate([])
+        )
+        return g
+
+    up = ds.select_columns([user_col, ts_col]).map_batches(
+        _user_periods, batch_format="pyarrow"
+    )
+
+    def _cells(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_period": pa.array([], pa.int64()),
+                "offset_periods": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0 or "__p" not in t.column_names:
+            return empty
+        d = t.group_by([user_col, "__p"], use_threads=False).aggregate([])
+        d = d.sort_by(
+            [(user_col, "ascending"), ("__p", "ascending")]
+        )
+        u = d[user_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        starts = group_starts(u)
+        sizes = np.diff(np.append(starts, len(d)))
+        p = d["__p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cohort = np.repeat(p[starts], sizes)  # per-user min = first sorted
+        off = p - cohort
+        g = (
+            pa.table(
+                {
+                    "cohort_period": pa.array(cohort, pa.int64()),
+                    "offset_periods": pa.array(off, pa.int64()),
+                }
+            )
+            .group_by(["cohort_period", "offset_periods"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cohort_period", "offset_periods", "n"])
+
+    cells = keyed_map(up, user_col, _cells, num_buckets=num_buckets)
+    return cells.groupby(["cohort_period", "offset_periods"]).aggregate(
+        Sum("n", alias_name="n_users")
+    )

@@ -173,3 +173,120 @@ def test_clustering_coefficient_matches_reference(ray_session):
         exp_cc = 2.0 * tri / (d * (d - 1.0)) if d > 1 else 0.0
         assert out.loc[node, "cc"] == exp_cc
     assert set(out.index) == set(adj)
+
+
+def test_containment_kernel_fast_matches_loop(ray_session):
+    from splink_ray.stages.dedup import (
+        _jaccard_tokens_fast,
+        _jaccard_tokens_loop,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12)))
+        for _ in range(400)
+    ]
+    l = pa.array([docs[i] for i in rng.integers(0, 400, 300)])
+    r = pa.array([docs[i] for i in rng.integers(0, 400, 300)])
+    fast = _jaccard_tokens_fast(l, r, containment_r=True)
+    loop = _jaccard_tokens_loop(l, r, containment_r=True)
+    np.testing.assert_allclose(fast, loop, rtol=0, atol=0)
+
+
+def test_prefix_containment_against_exact_recall(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.dedup import prefix_containment_against
+
+    rng = np.random.default_rng(21)
+    vocab = [f"t{i:03d}" for i in range(40)]
+    corpus = [
+        " ".join(rng.choice(vocab, rng.integers(3, 15), replace=False))
+        for _ in range(120)
+    ]
+    refs = [
+        " ".join(rng.choice(vocab, rng.integers(2, 8), replace=False))
+        for _ in range(25)
+    ]
+    # a superset pair: low jaccard, containment exactly 1.0
+    refs.append("t000 t001")
+    corpus.append("t000 t001 " + " ".join(vocab[10:30]))
+    t = 0.6
+    ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(len(corpus)), "text": corpus})
+    ).repartition(5)
+    rf = rd.from_arrow(
+        pa.table({"ref_id": np.arange(len(refs)), "rt": refs})
+    ).repartition(3)
+    out = prefix_containment_against(
+        ds, rf, "text", "doc_id",
+        ref_text_col="rt", ref_id_col="ref_id", threshold=t,
+    ).to_pandas()
+    got = {
+        (a, b): c
+        for a, b, c in zip(out["doc_id"], out["ref_id"], out["containment"])
+    }
+    exp = {}
+    for di, d in enumerate(corpus):
+        sd = set(d.split())
+        for ri, r in enumerate(refs):
+            sr = set(r.split())
+            c = len(sd & sr) / len(sr) if sr else 1.0
+            if c >= t:
+                exp[(di, ri)] = round(c, 6)
+    assert got == exp  # exact recall AND exact scores
+    assert got[(len(corpus) - 1, len(refs) - 1)] == 1.0
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.events import cohort_retention
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    users = rng.integers(0, 200, n)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 40, n) * 86_400_000_000 + rng.integers(
+        0, 86_400_000_000, n
+    )
+    t = pa.table(
+        {
+            "user_id": users,
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    out = (
+        cohort_retention(
+            rd.from_arrow(t).repartition(7), "user_id", "ts",
+            period_days=7,
+        )
+        .to_pandas()
+        .sort_values(["cohort_period", "offset_periods"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"u": users, "p": ts // (86_400_000_000 * 7)})
+    up = df.drop_duplicates()
+    cohort = up.groupby("u")["p"].transform("min")
+    ref = (
+        pd.DataFrame(
+            {
+                "cohort_period": cohort,
+                "offset_periods": up["p"] - cohort,
+            }
+        )
+        .groupby(["cohort_period", "offset_periods"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_period", "offset_periods"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # every user appears exactly once at offset 0 of their cohort
+    assert (
+        out[out["offset_periods"] == 0]["n_users"].sum()
+        == df["u"].nunique()
+    )
