@@ -2671,6 +2671,85 @@ def q_snb_multikey_pairs(sf_dir: str):
     return keyed_map(u, "id_l", _distinct)
 
 
+def q_gram_novelty_docs(sf_dir: str):
+    """Corpus: per-doc trigram novelty — fraction of a doc's distinct word
+    3-grams whose global first owner (min doc_id) is the doc itself; ONE
+    gram-keyed exchange resolves first owners AND reduces per-doc partials
+    in-bucket (stages/corpus.py::gram_novelty)."""
+    from splink_ray.stages.corpus import gram_novelty
+
+    out = gram_novelty(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", n=3
+    )
+
+    def _r(t: pa.Table) -> pa.Table:
+        v = t["novelty"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"],
+                "n_introduced": t["n_introduced"],
+                "novelty": pa.array(round_half_away(v, 6), pa.float64()),
+            }
+        )
+
+    return out.map_batches(_r, batch_format="pyarrow")
+
+
+def q_cluster_density_docs(sf_dir: str):
+    """C3 clusters table: per-cluster size / edge count / density over the
+    exact-text graph — the other half of compute_graph_metrics (the nodes
+    half is q_graph_degree). Edges and the cluster map co-process as
+    Dataset ops; density = 2E/(n(n−1)) with singletons null
+    (pipelines/clustering.py::compute_graph_metrics)."""
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+        compute_graph_metrics,
+    )
+    from splink_ray.stages.blocking import generate_pairs
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    s = Settings(
+        unique_id_column_name="doc_id",
+        blocking_rules_to_generate_predictions=[block_on("text")],
+    )
+    pairs, _ = generate_pairs(docs, s, analyze_skew=False, collect_metrics=False)
+
+    def _p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_l": t["doc_id_l"],
+                "doc_id_r": t["doc_id_r"],
+                "match_probability": pa.array(
+                    np.ones(len(t), np.float64), pa.float64()
+                ),
+            }
+        )
+
+    preds = pairs.map_batches(_p, batch_format="pyarrow")
+    clustered, _info = cluster_pairwise_predictions_at_threshold(
+        docs, preds, threshold_match_probability=0.5, uid="doc_id"
+    )
+    clusters = compute_graph_metrics(
+        preds, clustered, threshold=0.5, uid="doc_id", as_pandas=False
+    )["clusters"]
+
+    def _r(t: pa.Table) -> pa.Table:
+        v = t["density"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "n_nodes": t["n_nodes"],
+                "n_edges": t["n_edges"],
+                "density": pa.array(
+                    round_half_away(v, 6), pa.float64(), mask=~np.isfinite(v)
+                ),
+            }
+        )
+
+    return clusters.map_batches(_r, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2693,14 +2772,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotation re-run (those keep their r3 driver rows); (7) the third batch
     (semi/anti joins, interval join, weighted/rank/string_agg operators),
     each displacing an r4-green-and-unchanged re-run. Entries beyond the
-    window are all r3/r4 hash-green; the full 124-query set is re-verified
+    window are all r3/r4 hash-green; the full 126-query set is re-verified
     at 32-CPU driver parallelism by tools/check_entry.py (see BASELINE.md
     round-5 notes)."""
     return {
         # --- (1) never driver-green; anti-join reimplemented this round ---
         "dedup_against_docs": q_dedup_against_docs,
         # --- (2) r3-green, displaced from the r4 window (rotate back in) ---
-        "predict_threshold_count": q_predict_threshold_count,
         # --- twelfth batch (containment decontamination, cohort retention,
         # multi-pass SNB); slots from the r3-green rotation re-runs
         # count_comparisons / blocking_pairs_salted / multi_rule_match_key
@@ -2710,6 +2788,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_against_docs": q_containment_against_docs,
         "cohort_retention_events": q_cohort_retention_events,
         "snb_multikey_pairs": q_snb_multikey_pairs,
+        # --- thirteenth batch (gram novelty, cluster density table); slots
+        # from predict_threshold_count (r3-green) and flagship_clusters
+        # (r4-green fill) — both move just past the window;
+        # cluster_density_docs drives the same blocking+clustering pipeline
+        # in-window, so the flagship path still re-verifies every round ---
+        "gram_novelty_docs": q_gram_novelty_docs,
+        "cluster_density_docs": q_cluster_density_docs,
         # --- eleventh batch (sorted-neighborhood blocking, KMV distinct
         # sketch, grouped OLS regression, local clustering coefficient);
         # slots from the r3-green rotation re-runs find_matches_new /
@@ -2803,8 +2888,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # purchase_followup_counts and dedup_against/contaminated_docs) ---
         "doc_length_mad": q_doc_length_mad,
         "sessions_per_user": q_sessions_per_user,
-        # --- (4) r4-green fill (flagship representative) ---
-        "flagship_clusters": q_flagship_clusters,
         # --- new in round 5 (each takes a window slot from an r4-green
         # re-run, so the r4∪r5 union still covers every pre-existing query) ---
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -2822,7 +2905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch and keep their r3 rows; ngram_jaccard_pairs/
         # prefix_jaccard_pairs/jaccard_against_docs/pmi_collocations were
         # displaced by the third batch and keep their r4 rows) ---
-        # (displaced by the eleventh/twelfth batches — ever-green via r3)
+        # (displaced by batches 11-13 — ever-green via r3/r4 rows)
+        "predict_threshold_count": q_predict_threshold_count,
+        "flagship_clusters": q_flagship_clusters,
         "count_comparisons": q_count_comparisons,
         "blocking_pairs_salted": q_blocking_pairs_salted,
         "multi_rule_match_key": q_multi_rule_match_key,
@@ -4111,6 +4196,35 @@ def oracle_sql() -> dict[str, str]:
             "round((sxy / n - (sx / n) * (sy / n)) / "
             "sqrt((sxx / n - (sx / n) * (sx / n)) * "
             "(syy / n - (sy / n) * (sy / n))), 6) AS corr FROM g"
+        ),
+        "gram_novelty_docs": (
+            "WITH toks AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+            "str_split(text, ' ') END AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string("
+            "list_slice(w, gs.i + 1, gs.i + 3), ' ') AS g FROM toks "
+            "CROSS JOIN LATERAL (SELECT unnest(generate_series(0, "
+            "len(w) - 3)) AS i) gs(i) WHERE len(w) >= 3), "
+            "fo AS (SELECT g, min(doc_id) AS first_doc FROM grams "
+            "GROUP BY g) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(sum(CASE WHEN doc_id = first_doc THEN 1 END), 0)"
+            " AS BIGINT) AS n_introduced, "
+            "round(CAST(coalesce(sum(CASE WHEN doc_id = first_doc THEN 1 "
+            "END), 0) AS DOUBLE) / count(*), 6) AS novelty "
+            "FROM grams JOIN fo USING (g) GROUP BY doc_id"
+        ),
+        "cluster_density_docs": (
+            # exact-text components collapse to per-text groups: cluster =
+            # min(doc_id), edges = the k(k-1)/2 within-clique pairs the
+            # engine's blocking emits; singleton density NULL
+            "SELECT min(doc_id) AS cluster_id, "
+            "CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_edges, "
+            "CASE WHEN count(*) > 1 THEN round(2.0 * "
+            "(count(*) * (count(*) - 1) // 2) / "
+            "(count(*) * (count(*) - 1.0)), 6) END AS density "
+            "FROM documents GROUP BY text"
         ),
         "containment_against_docs": (
             # exhaustive cross join — the engine's prefix-filter candidate

@@ -416,8 +416,25 @@ def compute_graph_metrics(
             }
         )
 
-    edge_partials = edges.join(
-        cl_map, join_type="inner", num_partitions=nparts, on=(f"{uid}_l",)
+    # hardened sort-exchange join: the edge list comes out of the blocking
+    # keyed_map, whose empty partitions are schema-less — Dataset.join dies
+    # on those when edges are few and partitions many (hazard class, see
+    # joins.shuffle_join; first observed HERE by cluster_density_docs).
+    # Schemas passed explicitly: Dataset.schema() on a prediction set whose
+    # first block is schema-less returns None.
+    from ..stages.joins import _as_schema, shuffle_join
+
+    cl_schema = _as_schema(clustered_ds)
+    idt = cl_schema.field(uid).type
+    clt = cl_schema.field("cluster_id").type
+    edge_partials = shuffle_join(
+        edges,
+        cl_map,
+        on=f"{uid}_l",
+        how="inner",
+        num_buckets=nparts,
+        left_schema=pa.schema([(f"{uid}_l", idt), (f"{uid}_r", idt)]),
+        right_schema=pa.schema([(f"{uid}_l", idt), ("__cl", clt)]),
     ).map_batches(_edge_partial, batch_format="pyarrow")
     node_partials = clustered_ds.map_batches(_node_partial, batch_format="pyarrow")
     clusters = (

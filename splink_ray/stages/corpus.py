@@ -1614,3 +1614,106 @@ def remove_dup_spans(ds, text_col: str, id_col: str, n: int = 5, num_buckets=Non
         )
 
     return keyed_map(tagged, id_col, _rebuild, num_buckets=num_buckets)
+
+def gram_novelty(ds, text_col: str, id_col: str, n: int = 3, num_buckets=None):
+    """Per-document n-gram novelty: over each document's DISTINCT word
+    n-grams, the count and fraction whose global FIRST owner (minimum
+    ``id_col``) is this document — "how much of this doc is new to the
+    corpus", the diversity/novelty signal used to down-weight boilerplate
+    when composing training mixes. Returns
+    ``(id, n_grams, n_introduced, novelty)`` for every document with at
+    least one n-gram.
+
+    Scale shape: per-batch DISTINCT (gram, id) rows are the only rows that
+    shuffle (the dup_spans exchange class); ONE gram-keyed exchange both
+    resolves each gram's minimum owner AND reduces to per-document partial
+    counts in-bucket — a single exchange where a join-then-aggregate plan
+    would take two; a final (document-domain) groupby sums partials. The
+    novelty ratio is a pure double law of two int64 counts.
+
+    Oracle: DISTINCT grams CTE + ``min(doc_id) GROUP BY gram`` + per-doc
+    conditional count (``__ray_entry__`` gram_novelty SQL)."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import group_starts, keyed_map
+    from .joins import _as_schema
+
+    id_type = _as_schema(ds).field(id_col).type
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "n_grams": pa.array([], pa.int64()),
+                "n_introduced": pa.array([], pa.int64()),
+            }
+        )
+
+    def _gram_rows(t: pa.Table) -> pa.Table:
+        grams, seg, _ = _ngram_windows(t[text_col], n)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(grams) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             id_col: pa.array([], id_type)})
+        return (
+            pa.table({"g": grams, id_col: ids.take(pa.array(seg))})
+            .group_by(["g", id_col], use_threads=False)
+            .aggregate([])
+        )
+
+    rows = ds.select_columns([text_col, id_col]).map_batches(
+        _gram_rows, batch_format="pyarrow"
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "g" not in t.column_names:
+            return _empty()
+        d = t.group_by(["g", id_col], use_threads=False).aggregate([])
+        d = d.sort_by([("g", "ascending"), (id_col, "ascending")])
+        g = d["g"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        sizes = np.diff(np.append(starts, len(d)))
+        # sorted (gram, id): the first row of each gram run IS the min owner
+        intro = np.zeros(len(d), np.int64)
+        intro[starts] = 1
+        p = (
+            pa.table({id_col: d[id_col], "__i": pa.array(intro)})
+            .group_by(id_col, use_threads=False)
+            .aggregate([("__i", "sum"), ([], "count_all")])
+        )
+        return p.rename_columns([id_col, "n_introduced", "n_grams"]).select(
+            [id_col, "n_grams", "n_introduced"]
+        )
+
+    partials = keyed_map(rows, "g", _bucket, num_buckets=num_buckets)
+    agg = partials.groupby(id_col).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_introduced", alias_name="n_introduced"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_grams" not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_introduced": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ni = t["n_introduced"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_introduced": pc.cast(t["n_introduced"], pa.int64()),
+                "novelty": pa.array(ni / ng, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

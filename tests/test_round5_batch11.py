@@ -290,3 +290,83 @@ def test_cohort_retention_matches_pandas(ray_session):
         out[out["offset_periods"] == 0]["n_users"].sum()
         == df["u"].nunique()
     )
+
+
+def test_gram_novelty_matches_reference(ray_session):
+    import ray.data as rd
+
+    from splink_ray.stages.corpus import gram_novelty
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(0, 20))) for _ in range(150)
+    ]
+    t = pa.table({"doc_id": np.arange(150), "text": docs})
+    out = (
+        gram_novelty(rd.from_arrow(t).repartition(6), "text", "doc_id", n=3)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    def grams(s):
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    first: dict = {}
+    for i, d in enumerate(docs):
+        for g in sorted(grams(d)):
+            first.setdefault(g, i)
+    for i, d in enumerate(docs):
+        gs = grams(d)
+        if not gs:
+            assert i not in out.index
+            continue
+        intro = sum(1 for g in gs if first[g] == i)
+        assert out.loc[i, "n_grams"] == len(gs)
+        assert out.loc[i, "n_introduced"] == intro
+        assert out.loc[i, "novelty"] == intro / len(gs)
+
+
+def test_graph_metrics_clusters_tiny_edges_high_parallelism(ray_session):
+    """Regression: compute_graph_metrics' edges ⋈ cluster-map join must
+    survive schema-less empty partitions (3 edges, keyed_map-produced
+    blocks, many partitions) — the Dataset.join hazard class that killed
+    cluster_density_docs before the shuffle_join migration."""
+    import ray.data as rd
+
+    from splink_ray.pipelines.clustering import (
+        cluster_pairwise_predictions_at_threshold,
+        compute_graph_metrics,
+    )
+    from splink_ray.stages.exchange import keyed_map
+
+    recs = rd.from_arrow(
+        pa.table({"unique_id": pa.array(list(range(10)), pa.int64())})
+    ).repartition(8)
+    preds_t = pa.table(
+        {
+            "unique_id_l": pa.array([0, 2, 7], pa.int64()),
+            "unique_id_r": pa.array([1, 3, 8], pa.int64()),
+            "match_probability": pa.array([1.0, 1.0, 1.0]),
+        }
+    )
+    # route the tiny edge set through keyed_map so its empty partitions are
+    # the schema-less blocks Ray emits for empty groupby groups
+    preds = keyed_map(
+        rd.from_arrow(preds_t).repartition(4),
+        "unique_id_l",
+        lambda t: t,
+        num_buckets=32,
+    )
+    clustered, _ = cluster_pairwise_predictions_at_threshold(
+        recs, preds, threshold_match_probability=0.5
+    )
+    out = compute_graph_metrics(preds, clustered, threshold=0.5)
+    cl = out["clusters"].set_index("cluster_id").sort_index()
+    assert len(cl) == 7  # 3 pairs + 4 singletons
+    assert cl.loc[0, "n_nodes"] == 2 and cl.loc[0, "n_edges"] == 1
+    assert cl.loc[0, "density"] == 1.0
+    assert cl.loc[4, "n_nodes"] == 1 and cl.loc[4, "n_edges"] == 0
+    assert np.isnan(cl.loc[4, "density"])
+    nodes = out["nodes"].set_index("node")
+    assert nodes.loc[0, "degree"] == 1 and len(nodes) == 6
