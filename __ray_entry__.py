@@ -2750,6 +2750,65 @@ def q_cluster_density_docs(sf_dir: str):
     return clusters.map_batches(_r, batch_format="pyarrow")
 
 
+def q_bloom_semi_orders(sf_dir: str):
+    """Sketch: Bloom-prefiltered EXACT semi-join — orders placed by
+    high-balance customers (``o_custkey IN (SELECT … WHERE c_acctbal >
+    9000)``). The selective build side ships as ONE broadcast bitmap; only
+    Bloom survivors enter the exact verify exchange
+    (stages/sketches.py::bloom_semi_join)."""
+    from splink_ray.stages.sketches import bloom_semi_join
+
+    orders = _ds(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = cust.filter(expr="c_acctbal > 9000").select_columns(["c_custkey"])
+    return bloom_semi_join(
+        orders, rich, on="o_custkey", right_on="c_custkey", how="left_semi",
+        num_bits=1 << 16,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+
+
+def q_bloom_anti_orders(sf_dir: str):
+    """Sketch: Bloom-prefiltered EXACT anti-join — orders NOT placed by
+    high-balance customers. Bloom-definite non-members bypass the exchange
+    entirely (provably in the answer); only maybe-members verify."""
+    from splink_ray.stages.sketches import bloom_semi_join
+
+    orders = _ds(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = cust.filter(expr="c_acctbal > 9000").select_columns(["c_custkey"])
+    return bloom_semi_join(
+        orders, rich, on="o_custkey", right_on="c_custkey", how="left_anti",
+        num_bits=1 << 16,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+
+
+def q_heavy_hitters_users(sf_dir: str):
+    """Sketch: EXACT heavy hitters via Count-Min candidate prefilter —
+    users with >= 30 events (``GROUP BY user_id HAVING count(*) >= 30``)
+    without ever shuffling the full user domain
+    (stages/sketches.py::cms_heavy_hitters)."""
+    from splink_ray.stages.sketches import cms_heavy_hitters
+
+    ev = _ds(sf_dir, "events", ["user_id"])
+    return cms_heavy_hitters(ev, "user_id", min_count=30)
+
+
+def q_skyline_parts(sf_dir: str):
+    """Sketch: distributed exact 2D Pareto skyline — parts not dominated on
+    (p_size, p_retailprice), maximize both; per-batch local skylines then
+    one tiny merge (stages/sketches.py::skyline2d)."""
+    from splink_ray.stages.sketches import skyline2d
+
+    part = _ds(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return skyline2d(part, "p_size", "p_retailprice")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -2982,6 +3041,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "sessionize_events": q_sessionize_events,
         "rolling_window_events": q_rolling_window_events,
+        # --- fourteenth batch (sketch-prefiltered exact operators):
+        # post-window, locally exact-hash-verified via tools/check_entry ---
+        "bloom_semi_orders": q_bloom_semi_orders,
+        "bloom_anti_orders": q_bloom_anti_orders,
+        "heavy_hitters_users": q_heavy_hitters_users,
+        "skyline_parts": q_skyline_parts,
     }
 
 
@@ -4564,5 +4629,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.b, r.rep FROM reach r JOIN edges e ON e.a = r.node) "
             "SELECT node AS doc_id, min(rep) AS dup_group_id "
             "FROM reach GROUP BY node"
+        ),
+        "bloom_semi_orders": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"
+        ),
+        "bloom_anti_orders": (
+            "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_acctbal > 9000)"
+        ),
+        "heavy_hitters_users": (
+            "SELECT user_id, count(*) AS c FROM events "
+            "GROUP BY user_id HAVING count(*) >= 30"
+        ),
+        "skyline_parts": (
+            "SELECT p_partkey, p_size, p_retailprice FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
+            "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
+            "AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))"
         ),
     }

@@ -64,7 +64,7 @@ def default_num_buckets(num_rows_hint: int | None = None) -> int:
     return max(2, b)
 
 
-def hash_values(keys: pa.Array) -> np.ndarray:
+def hash_values(keys: pa.Array, seed: int = 42) -> np.ndarray:
     """Deterministic uint64 hash per element, fully vectorized.
 
     Primary path: polars' xxhash over the Arrow array — no Python-object
@@ -72,14 +72,25 @@ def hash_values(keys: pa.Array) -> np.ndarray:
     + ``pd.util.hash_array`` route boxed every element; measured 7× slower on
     2M strings). Deterministic across processes / Python versions for a
     pinned polars (seeded xxhash). Falls back to the pandas object hash if
-    polars is unavailable. Nulls hash to a stable value."""
+    polars is unavailable. Nulls hash to a stable value.
+
+    ``seed`` selects an independent hash family member (Bloom/CMS rows use
+    distinct seeds; the partitioning default stays 42 everywhere else). The
+    fallback path mixes the seed in with a splitmix64 step so both paths
+    honor it."""
     try:
         import polars as pl
 
-        return pl.from_arrow(keys).hash(seed=42).to_numpy().astype(np.uint64)
+        return pl.from_arrow(keys).hash(seed=seed).to_numpy().astype(np.uint64)
     except Exception:
         vals = keys.to_numpy(zero_copy_only=False)
-        return pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+        h = pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+        if seed != 42:
+            z = h + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = z ^ (z >> np.uint64(31))
+        return h
 
 
 def hash_bucket_array(keys: pa.Array, num_buckets: int) -> np.ndarray:
