@@ -2809,6 +2809,85 @@ def q_skyline_parts(sf_dir: str):
     return skyline2d(part, "p_size", "p_retailprice")
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(priority, status) — all 2ⁿ grouping sets in the same
+    one-pass partial-aggregation plan as the ROLLUP query
+    (stages/stats.py::cube_aggregate)."""
+    from splink_ray.stages.stats import cube_aggregate
+
+    return cube_aggregate(
+        _orders_cents(sf_dir).drop_columns(["o_orderkey", "o_custkey", "o_orderdate"]),
+        ["o_orderpriority", "o_orderstatus"], "cents",
+        count_name="n_orders", sum_name="sum_cents",
+    )
+
+
+def q_moving_avg_lineitem(sf_dir: str):
+    """SQL ROWS-frame moving window — SUM/AVG(qty) OVER (PARTITION BY
+    l_orderkey ORDER BY l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW); one order-keyed exchange, segmented clamped cumsum in-bucket
+    (stages/stats.py::grouped_moving)."""
+    from splink_ray.stages.stats import grouped_moving
+
+    li = _ds(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    # the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    # pairs, so qty joins the ORDER BY as the deterministic tiebreak —
+    # remaining ties are full-row duplicates, which leave every ROWS
+    # frame's contents (and thus the output) order-invariant
+    out = grouped_moving(
+        li.map_batches(_int, batch_format="pyarrow"),
+        "l_orderkey", ["l_linenumber", "qty"], "qty", window=3,
+    )
+
+    def _r(t: pa.Table) -> pa.Table:
+        v = t["mov_avg"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["mov_avg"]).append_column(
+            "mov_avg", pa.array(round_half_away(v, 6) + 0.0, pa.float64())
+        )
+
+    return out.map_batches(_r, batch_format="pyarrow")
+
+
+def q_user_entropy_events(sf_dir: str):
+    """Shannon entropy (bits) of each user's event-type mix — per-batch
+    (user, type, count) partials, one user-keyed exchange, vectorized
+    -Σ p·log2 p over the merged histogram
+    (stages/stats.py::grouped_entropy)."""
+    from splink_ray.stages.stats import grouped_entropy
+
+    ev = _ds(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+def q_hits_events(sf_dir: str):
+    """HITS hubs over the bipartite user × event-type graph (Kleinberg
+    1999), 2 power iterations with L2 normalization: authority updates are
+    tiny groupby-sums, hub updates gather a broadcast authority vector
+    inside ONE hub-keyed exchange per iteration
+    (pipelines/clustering.py::hits_bipartite)."""
+    from splink_ray.pipelines.clustering import hits_bipartite
+    from splink_ray.stages.exchange import keyed_map
+
+    ev = _ds(sf_dir, "events", ["user_id", "event_type"])
+
+    def _loc(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"], use_threads=False).aggregate([])
+
+    loc = ev.map_batches(_loc, batch_format="pyarrow")
+    edges = keyed_map(loc, "user_id", _loc)
+    return hits_bipartite(edges, "user_id", "event_type", iterations=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3047,6 +3126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_orders": q_bloom_anti_orders,
         "heavy_hitters_users": q_heavy_hitters_users,
         "skyline_parts": q_skyline_parts,
+        # --- fifteenth batch (CUBE, ROWS-frame window, entropy, HITS) ---
+        "cube_revenue": q_cube_revenue,
+        "moving_avg_lineitem": q_moving_avg_lineitem,
+        "user_entropy_events": q_user_entropy_events,
+        "hits_events": q_hits_events,
     }
 
 
@@ -4648,5 +4732,57 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
             "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
             "AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))"
+        ),
+        "cube_revenue": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) "
+            "AS grouping_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents "
+            "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+        ),
+        "moving_avg_lineitem": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) OVER w AS BIGINT) "
+            "AS mov_sum, "
+            "round(AVG(CAST(round(l_quantity) AS BIGINT)) OVER w, 6) + 0.0 "
+            "AS mov_avg "
+            "FROM lineitem WINDOW w AS (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber, round(l_quantity) "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        "user_entropy_events": (
+            # counts are exact ints in both engines; the float entropy sum
+            # is rounded to 6 on both sides (+0.0 canonicalizes -0.0 for
+            # single-type users)
+            "WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS c "
+            "FROM events GROUP BY user_id, event_type), "
+            "n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id) "
+            "SELECT c.user_id, "
+            "round(sum(-(c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy "
+            "FROM c JOIN n USING (user_id) GROUP BY c.user_id"
+        ),
+        "hits_events": (
+            # two HITS power iterations, L2-normalized after every update —
+            # each CTE mirrors one engine half-iteration exactly
+            "WITH e AS (SELECT DISTINCT user_id AS u, event_type AS v "
+            "FROM events), "
+            "a1 AS (SELECT v, count(*)::DOUBLE AS s FROM e GROUP BY v), "
+            "a1n AS (SELECT v, s / (SELECT sqrt(sum(s * s)) FROM a1) AS s "
+            "FROM a1), "
+            "h1 AS (SELECT u, sum(a1n.s) AS s FROM e JOIN a1n USING (v) "
+            "GROUP BY u), "
+            "h1n AS (SELECT u, s / (SELECT sqrt(sum(s * s)) FROM h1) AS s "
+            "FROM h1), "
+            "a2 AS (SELECT v, sum(h1n.s) AS s FROM e JOIN h1n USING (u) "
+            "GROUP BY v), "
+            "a2n AS (SELECT v, s / (SELECT sqrt(sum(s * s)) FROM a2) AS s "
+            "FROM a2), "
+            "h2 AS (SELECT u, sum(a2n.s) AS s FROM e JOIN a2n USING (v) "
+            "GROUP BY u) "
+            "SELECT u AS user_id, "
+            "round(s / (SELECT sqrt(sum(s * s)) FROM h2), 6) AS hub FROM h2"
         ),
     }

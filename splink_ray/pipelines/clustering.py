@@ -981,3 +981,147 @@ def clustering_coefficient(pairs, id_l: str = "id_l", id_r: str = "id_r", num_bu
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def hits_bipartite(
+    edges,
+    hub_col: str,
+    auth_col: str,
+    iterations: int = 2,
+    ndigits: int = 6,
+):
+    """HITS hubs-and-authorities over a bipartite edge set (hub -> auth),
+    e.g. users × event types, documents × terms, buyers × products
+    (Kleinberg 1999 — public algorithm). Returns per-hub scores
+    ``(hub_col, hub)``, L2-normalized, rounded to ``ndigits``.
+
+    Assumes the AUTHORITY side has small cardinality (event types, labels,
+    topics — the bipartite shape this engine targets); each half-iteration
+    is then ONE streaming pass:
+
+    - ``a ← Σ_{(u,v)} h[u]``: per-batch partial sums per authority (tiny
+      ``|auth|``-row partials), merged via ``groupby().aggregate``, L2
+      normalization on the driver over the tiny authority vector;
+    - ``h ← Σ_{(u,v)} a[v]``: the authority vector broadcasts once via
+      ``ray.put`` and each hub's score is a vectorized gather-sum over its
+      OWN edges inside one hub-keyed exchange; the global L2 norm is a
+      single scalar aggregate, applied in a final streaming map.
+
+    Edges must be DISTINCT (hub, auth) pairs — dedupe upstream (the
+    classic HITS adjacency is 0/1). Hubs never materialize on the driver.
+    With hub starting scores all 1, iteration count ``k`` means: k
+    authority updates interleaved with k hub updates, normalizing after
+    each update (the standard power-iteration schedule)."""
+    from ..kernels import round_half_away
+    from ..stages.exchange import broadcast as bcast
+    from ..stages.joins import _as_schema
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    hub_type = _as_schema(edges).field(hub_col).type
+
+    # hub scores live as a column on the (distributed) edge set: h_u is
+    # repeated across u's edges, which is exactly the gather a ← Σ h needs.
+    def _seed(t: pa.Table) -> pa.Table:
+        return t.append_column("h", pa.array(np.ones(len(t)), pa.float64()))
+
+    state = edges.map_batches(_seed, batch_format="pyarrow")
+
+    auth_ref = None
+    for _ in range(iterations):
+        # a ← Σ_{(u,v)} h[u], then L2-normalize (authority side is tiny)
+        def _a_partial(t: pa.Table) -> pa.Table:
+            g = (
+                t.select([auth_col, "h"])
+                .group_by([auth_col], use_threads=False)
+                .aggregate([("h", "sum")])
+            )
+            return g.rename_columns([auth_col, "s"])
+
+        from ray.data.aggregate import Sum
+
+        rows = (
+            state.map_batches(_a_partial, batch_format="pyarrow")
+            .groupby(auth_col)
+            .aggregate(Sum("s", alias_name="s"))
+            .take_all()
+        )
+        keys = [r[auth_col] for r in rows]
+        vec = np.array([r["s"] for r in rows], np.float64)
+        vec /= np.sqrt((vec * vec).sum()) or 1.0
+        auth_ref = bcast((pa.array(keys), vec))
+
+        # h ← Σ_{(u,v)} a[v] per hub, un-normalized. The bucket's Σ_hubs h²
+        # rides along as an additive "ss" column (bucket total on the first
+        # row, 0 elsewhere) — hubs are bucket-complete here, and an
+        # additive column stays exact under any downstream re-batching or
+        # block splitting (summing a per-batch DISTINCT-hub reduction would
+        # double-count a hub whose edges straddle a batch boundary).
+        def _h_update(t: pa.Table, ref=auth_ref) -> pa.Table:
+            from ..stages.blocking import _fetch_broadcast
+
+            ak, av = _fetch_broadcast(ref)
+            pos = pc.index_in(t[auth_col], value_set=ak)
+            contrib = av[pos.to_numpy(zero_copy_only=False)]
+            # per-hub sum, then repeat back onto the hub's edges
+            hub = t[hub_col]
+            if isinstance(hub, pa.ChunkedArray):
+                hub = hub.combine_chunks()
+            enc = pc.dictionary_encode(hub)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            nhub = int(codes.max()) + 1 if len(codes) else 0
+            sums = np.bincount(codes, weights=contrib, minlength=nhub)
+            ss = np.zeros(len(t), np.float64)
+            if len(t):
+                ss[0] = (sums * sums).sum()
+            out = t.drop_columns(["h"] + (["ss"] if "ss" in t.column_names else []))
+            out = out.append_column("h", pa.array(sums[codes], pa.float64()))
+            return out.append_column("ss", pa.array(ss, pa.float64()))
+
+        # the per-hub sum must see ALL of a hub's edges → hub-keyed exchange;
+        # materialize per iteration so the scalar-norm fold below doesn't
+        # re-execute the whole chain once per iteration (standard iterative-
+        # algorithm checkpointing — same shape as the CC solver's rounds).
+        from ..stages.exchange import keyed_map
+
+        state = keyed_map(state, hub_col, _h_update).materialize()
+
+        ss = 0.0
+        for b in state.select_columns(["ss"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            ss += float(pc.sum(b["ss"]).as_py() or 0.0)
+        norm = np.sqrt(ss) or 1.0
+        nref = bcast(norm)
+
+        def _scale(t: pa.Table, ref=nref) -> pa.Table:
+            from ..stages.blocking import _fetch_broadcast
+
+            z = _fetch_broadcast(ref)
+            h = pc.divide(t["h"], pa.scalar(z, pa.float64()))
+            return t.drop_columns(["h", "ss"]).append_column("h", h)
+
+        state = state.map_batches(_scale, batch_format="pyarrow")
+
+    empty = pa.table(
+        {hub_col: pa.array([], hub_type), "hub": pa.array([], pa.float64())}
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "h" not in t.column_names:
+            return empty
+        g = t.group_by([hub_col], use_threads=False).aggregate([("h", "max")])
+        v = g["h_max"].to_numpy(zero_copy_only=False)
+        hub = g[hub_col]
+        if isinstance(hub, pa.ChunkedArray):
+            hub = hub.combine_chunks()
+        return pa.table(
+            {
+                hub_col: hub,
+                "hub": pa.array(round_half_away(v, ndigits), pa.float64()),
+            }
+        )
+
+    from ..stages.exchange import keyed_map
+
+    return keyed_map(state, hub_col, _final)

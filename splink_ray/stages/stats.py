@@ -873,6 +873,42 @@ def rollup_aggregate(
     real NULLs in the finish map; ``grouping_id`` disambiguates them, which
     is also why input key VALUES must be non-null (pre-fill upstream)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    n = len(keys)
+    sets = [(keys[:lvl], (1 << (n - lvl)) - 1) for lvl in range(n, -1, -1)]
+    return _grouping_sets_aggregate(
+        ds, keys, value_col, sets, count_name, sum_name
+    )
+
+
+def cube_aggregate(
+    ds,
+    keys,
+    value_col: str,
+    count_name: str = "n",
+    sum_name: str = "s",
+    num_buckets=None,
+):
+    """``GROUP BY CUBE(*keys)`` — ALL 2ⁿ grouping sets in the same ONE-pass
+    plan as :func:`rollup_aggregate` (per-batch partials pre-aggregate
+    every subset locally; the only exchange is the small distributed
+    groupby over ``(grouping_id, *keys)``). Same ``grouping_id`` bitmask
+    convention and non-null-key requirement."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n = len(keys)
+    if n > 8:
+        raise ValueError("cube over >8 keys explodes 2^n grouping sets")
+    sets = []
+    for mask in range(1 << n):  # mask bit i set => keys[i] rolled up
+        active = [k for i, k in enumerate(keys) if not (mask >> (n - 1 - i)) & 1]
+        sets.append((active, mask))
+    sets.sort(key=lambda s: s[1])
+    return _grouping_sets_aggregate(
+        ds, keys, value_col, sets, count_name, sum_name
+    )
+
+
+def _grouping_sets_aggregate(ds, keys, value_col, sets, count_name, sum_name):
+    """Shared ROLLUP/CUBE engine: ``sets`` is [(active_keys, grouping_id)]."""
     from ray.data.aggregate import Sum
 
     n = len(keys)
@@ -887,9 +923,7 @@ def rollup_aggregate(
     def _partial(t: pa.Table) -> pa.Table:
         ktypes = [t.schema.field(k).type for k in keys]
         parts = []
-        for lvl in range(n, -1, -1):
-            active = keys[:lvl]
-            gid = (1 << (n - lvl)) - 1
+        for active, gid in sets:
             if active:
                 g = (
                     t.select(active + [value_col])
@@ -1239,6 +1273,134 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64, num_buckets=No
             {
                 group_col: g.take(pa.array(starts)),
                 "est_distinct": pa.array(est, pa.float64()),
+            }
+        )
+
+    return keyed_map(partials, group_col, _merge, num_buckets=num_buckets)
+
+
+def grouped_moving(
+    ds,
+    group_col: str,
+    order_cols,
+    value_col: str,
+    window: int = 3,
+    num_buckets=None,
+):
+    """SQL ROWS-frame moving window per group — for every input row:
+
+    - ``mov_sum`` = ``SUM(v) OVER (PARTITION BY g ORDER BY o... ROWS
+      BETWEEN window-1 PRECEDING AND CURRENT ROW)``
+    - ``mov_avg`` = the matching ``AVG`` (sum / actual frame row count —
+      frames at the head of a partition are shorter, like SQL)
+
+    Same contract as :func:`grouped_running`: unique ``(group,
+    *order_cols)``, integer ``value_col`` (the windowed sum is then EXACT
+    and order-independent; ``mov_avg`` is a single double division of two
+    exact integers, so it matches a SQL engine bitwise), non-null keys.
+
+    Scale shape: ONE group-keyed exchange; in-bucket one sort + segmented
+    cumsum with the frame's lower bound clamped to the partition head —
+    ``mov_sum[i] = cum[i] - cum[max(start, i-window+1) - 1]`` — all
+    vectorized, no per-row loop."""
+    from .exchange import group_starts, keyed_map
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            t = t.append_column("mov_sum", pa.array([], pa.int64()))
+            return t.append_column("mov_avg", pa.array([], pa.float64()))
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(t)))
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(vals)])  # cum[i] = sum of first i
+        pos = np.arange(len(t), dtype=np.int64)
+        head = np.repeat(starts, lens)
+        lo = np.maximum(head, pos - window + 1)
+        msum = cum[pos + 1] - cum[lo]
+        cnt = pos - lo + 1
+        t = t.append_column("mov_sum", pa.array(msum, pa.int64()))
+        return t.append_column(
+            "mov_avg", pa.array(msum / cnt, pa.float64())
+        )
+
+    return keyed_map(ds, group_col, _bucket, num_buckets=num_buckets)
+
+
+def grouped_entropy(
+    ds,
+    group_col: str,
+    value_col: str,
+    out_col: str = "entropy",
+    ndigits: int = 6,
+    num_buckets=None,
+):
+    """Shannon entropy (bits) of each group's ``value_col`` distribution:
+    ``H(g) = -Σ_v p(v|g)·log2 p(v|g)`` — the "how diverse is this user's
+    event mix / this source's token mix" shape.
+
+    Two stages: per-batch ``(group, value) -> count`` partials (the ONLY
+    rows that shuffle — row-count independent for bounded value domains),
+    then one group-keyed exchange merges counts and evaluates the entropy
+    vectorized over the merged histogram. Counts are exact integers; the
+    float entropy sum is rounded to ``ndigits`` (segment order vs a SQL
+    engine's accumulation order differs at ~1 ulp)."""
+    from .exchange import group_starts, keyed_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "c"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    from ..kernels import round_half_away
+    from .joins import _as_schema
+
+    gtype = _as_schema(ds).field(group_col).type
+    empty = pa.table(
+        {group_col: pa.array([], gtype), out_col: pa.array([], pa.float64())}
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "c" not in t.column_names:
+            return empty
+        m = t.group_by([group_col, value_col], use_threads=False).aggregate(
+            [("c", "sum")]
+        )
+        idx = pc.sort_indices(m, sort_keys=[(group_col, "ascending")])
+        m = m.take(idx)
+        g = m[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(m)))
+        c = m["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.add.reduceat(c, starts)
+        p = c / np.repeat(tot, lens)
+        # + 0.0 canonicalizes the single-value group's -0.0 to +0.0
+        h = -np.add.reduceat(p * np.log2(p), starts) + 0.0
+        return pa.table(
+            {
+                group_col: g.take(pa.array(starts)),
+                out_col: pa.array(round_half_away(h, ndigits), pa.float64()),
             }
         )
 
