@@ -2888,6 +2888,38 @@ def q_hits_events(sf_dir: str):
     return hits_bipartite(edges, "user_id", "event_type", iterations=2)
 
 
+def q_except_all_orders(sf_dir: str):
+    """SQL EXCEPT ALL (multiset difference with multiplicities) over whole
+    projected rows — high-value orders minus finalized orders; one
+    row-hash exchange, per-side multiplicity fold in-bucket
+    (stages/setops.py::except_all)."""
+    from splink_ray.stages.setops import except_all
+
+    a = _ds(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 100000") \
+        .select_columns(["o_orderpriority", "o_orderstatus"])
+    b = _ds(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'")
+    return except_all(a, b, columns=["o_orderpriority", "o_orderstatus"])
+
+
+def q_intersect_nations(sf_dir: str):
+    """SQL INTERSECT (distinct) — nation keys present among BOTH customers
+    and suppliers (stages/setops.py::intersect_distinct)."""
+    from splink_ray.stages.setops import intersect_distinct
+
+    def _ren(t: pa.Table) -> pa.Table:
+        return pa.table({"nationkey": pc.cast(t[0], pa.int32())})
+
+    a = _ds(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        _ren, batch_format="pyarrow"
+    )
+    b = _ds(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        _ren, batch_format="pyarrow"
+    )
+    return intersect_distinct(a, b, columns=["nationkey"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3131,6 +3163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_lineitem": q_moving_avg_lineitem,
         "user_entropy_events": q_user_entropy_events,
         "hits_events": q_hits_events,
+        # --- sixteenth batch (SQL set operations) ---
+        "except_all_orders": q_except_all_orders,
+        "intersect_nations": q_intersect_nations,
     }
 
 
@@ -4784,5 +4819,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY u) "
             "SELECT u AS user_id, "
             "round(s / (SELECT sqrt(sum(s * s)) FROM h2), 6) AS hub FROM h2"
+        ),
+        "except_all_orders": (
+            "SELECT o_orderpriority, o_orderstatus FROM orders "
+            "WHERE o_totalprice > 100000 "
+            "EXCEPT ALL "
+            "SELECT o_orderpriority, o_orderstatus FROM orders "
+            "WHERE o_orderstatus = 'F'"
+        ),
+        "intersect_nations": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
         ),
     }

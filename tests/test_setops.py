@@ -1,0 +1,75 @@
+"""SQL set operations (EXCEPT / INTERSECT, DISTINCT and ALL) vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from splink_ray.stages.setops import (
+    except_all,
+    except_distinct,
+    intersect_all,
+    intersect_distinct,
+)
+
+OPS = {
+    "EXCEPT": except_distinct,
+    "EXCEPT ALL": except_all,
+    "INTERSECT": intersect_distinct,
+    "INTERSECT ALL": intersect_all,
+}
+
+
+def _frames(seed=13):
+    rng = np.random.default_rng(seed)
+    # small domain -> heavy duplication, exercising multiplicity math
+    a = pd.DataFrame(
+        {"x": rng.integers(0, 6, 500), "y": rng.choice(["p", "q", "r"], 500)}
+    )
+    b = pd.DataFrame(
+        {"x": rng.integers(0, 6, 300), "y": rng.choice(["p", "q", "s"], 300)}
+    )
+    return a, b
+
+
+@pytest.mark.parametrize("op", list(OPS))
+def test_setop_matches_duckdb(ray_session, op):
+    a, b = _frames()
+    out = (
+        OPS[op](rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(3))
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    want = (
+        con.execute(f"SELECT x, y FROM a {op} SELECT x, y FROM b ORDER BY x, y")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype({"x": np.int64}), want)
+
+
+def test_setop_nulls_compare_equal(ray_session):
+    # SQL set ops use IS NOT DISTINCT FROM: NULL rows match NULL rows
+    a = pd.DataFrame({"x": pd.array([1, None, None, 2], dtype="Int64")})
+    b = pd.DataFrame({"x": pd.array([None, 3], dtype="Int64")})
+    out = except_all(rd.from_pandas(a), rd.from_pandas(b)).to_pandas()
+    # multiset: a has two NULLs, b one -> one NULL survives, plus 1 and 2
+    assert len(out) == 3
+    assert out["x"].isna().sum() == 1
+    inter = intersect_distinct(rd.from_pandas(a), rd.from_pandas(b)).to_pandas()
+    assert len(inter) == 1 and inter["x"].isna().all()
+
+
+def test_setop_column_projection(ray_session):
+    a = pd.DataFrame({"x": [1, 1, 2], "junk": ["a", "b", "c"]})
+    b = pd.DataFrame({"x": [1], "other": [9]})
+    out = except_all(
+        rd.from_pandas(a), rd.from_pandas(b), columns=["x"]
+    ).to_pandas()
+    assert sorted(out["x"].tolist()) == [1, 2]
+    assert list(out.columns) == ["x"]
