@@ -2920,6 +2920,64 @@ def q_intersect_nations(sf_dir: str):
     return intersect_distinct(a, b, columns=["nationkey"])
 
 
+def q_ohlc_events(sf_dir: str):
+    """Time-bucket OHLC downsampling — hourly open/high/low/close/n of
+    ``value`` per user; every output value is a picked input value, so the
+    result is bit-exact vs SQL (stages/events.py::ohlc_downsample)."""
+    from splink_ray.stages.events import ohlc_downsample
+
+    ev = _ds(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return ohlc_downsample(ev, "user_id", "ts", "event_id", "value", 60.0)
+
+
+def q_value_histogram_events(sf_dir: str):
+    """Fixed-width histogram of ``value`` per event type (bin width 0.5) —
+    per-batch partials, one tiny bin-domain groupby
+    (stages/stats.py::binned_histogram)."""
+    from splink_ray.stages.stats import binned_histogram
+
+    ev = _ds(sf_dir, "events", ["event_type", "value"])
+    return binned_histogram(ev, "value", 0.5, group_col="event_type")
+
+
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) — SQL
+    tile quotas (first count%n tiles one row larger), one user-keyed
+    exchange (stages/stats.py::grouped_ntile)."""
+    from splink_ray.stages.stats import grouped_ntile
+
+    ev = _ds(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return grouped_ntile(ev, "user_id", ["ts", "event_id"], 4)
+
+
+def q_iqr_outliers_events(sf_dir: str):
+    """Per-type IQR outliers — events whose integer-cents value falls
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event type's exact
+    nearest-rank quartiles; fences broadcast once, corpus streams
+    (stages/stats.py::iqr_outliers)."""
+    from splink_ray.stages.stats import iqr_outliers
+
+    ev = _ds(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(
+            t["value"].to_numpy(zero_copy_only=False), np.float64
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    round_half_away(v * 100.0, 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return iqr_outliers(
+        ev.map_batches(_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3166,6 +3224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sixteenth batch (SQL set operations) ---
         "except_all_orders": q_except_all_orders,
         "intersect_nations": q_intersect_nations,
+        # --- seventeenth batch (OHLC, histogram, NTILE, IQR outliers) ---
+        "ohlc_events": q_ohlc_events,
+        "value_histogram_events": q_value_histogram_events,
+        "ntile_events": q_ntile_events,
+        "iqr_outliers_events": q_iqr_outliers_events,
     }
 
 
@@ -4830,5 +4893,44 @@ def oracle_sql() -> dict[str, str]:
         "intersect_nations": (
             "SELECT c_nationkey AS nationkey FROM customer "
             "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "ohlc_events": (
+            # open/close/high/low are PICKED values (no arithmetic) -> the
+            # window-function formulation is bit-exact vs the engine
+            "WITH e AS (SELECT user_id, make_timestamp((epoch_us(ts) // "
+            "3600000000) * 3600000000) AS window_start, ts, event_id, value "
+            "FROM events) "
+            "SELECT DISTINCT user_id, window_start, "
+            "first_value(value) OVER w AS open, "
+            "max(value) OVER w AS high, "
+            "min(value) OVER w AS low, "
+            "last_value(value) OVER w AS close, "
+            "CAST(count(*) OVER w AS BIGINT) AS n "
+            "FROM e WINDOW w AS (PARTITION BY user_id, window_start "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "value_histogram_events": (
+            "SELECT event_type, CAST(floor(value / 0.5) AS BIGINT) AS bin, "
+            "CAST(floor(value / 0.5) AS BIGINT) * 0.5 AS bin_lo, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type, floor(value / 0.5)"
+        ),
+        "ntile_events": (
+            "SELECT event_id, ts, user_id, "
+            "CAST(NTILE(4) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS tile FROM events"
+        ),
+        "iqr_outliers_events": (
+            # exact nearest-rank quartiles over integer cents; fence
+            # arithmetic is double ops on exact ints (1.5*IQR exact)
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "q AS (SELECT event_type, "
+            "quantile_disc(cents, 0.25) AS q1, "
+            "quantile_disc(cents, 0.75) AS q3 FROM c GROUP BY event_type) "
+            "SELECT c.event_id, c.event_type, c.cents FROM c JOIN q "
+            "USING (event_type) WHERE c.cents < q.q1 - 1.5 * (q.q3 - q.q1) "
+            "OR c.cents > q.q3 + 1.5 * (q.q3 - q.q1)"
         ),
     }

@@ -488,3 +488,93 @@ def cohort_retention(
     return cells.groupby(["cohort_period", "offset_periods"]).aggregate(
         Sum("n", alias_name="n_users")
     )
+
+
+def ohlc_downsample(
+    ds,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_minutes: float = 60.0,
+):
+    """Time-bucket OHLC downsampling — per (entity, tumbling window):
+    ``open``/``close`` = first/last value in (ts, id) order, ``high``/
+    ``low`` = max/min, ``n`` = row count. The metrics/telemetry compaction
+    shape ("resample ticks to hourly candles"). Every output value is a
+    PICKED input value (no arithmetic), so results are bit-exact vs any
+    SQL engine regardless of float accumulation order.
+
+    Scale shape: ONE entity-keyed exchange (an entity's rows co-locate;
+    windows subdivide inside the bucket); in-bucket one sort by (entity,
+    window, ts, id) + run detection + ``reduceat`` — no per-row loop. Raw
+    rows shuffle once; output is |entities × active windows| rows."""
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
+    from .exchange import keyed_map
+    from .joins import _as_schema
+
+    sch = _as_schema(ds)
+    utype = sch.field(user_col).type
+    vtype = sch.field(value_col).type
+    empty = pa.table(
+        {
+            user_col: pa.array([], utype),
+            "window_start": pa.array([], pa.timestamp("us")),
+            "open": pa.array([], vtype),
+            "high": pa.array([], vtype),
+            "low": pa.array([], vtype),
+            "close": pa.array([], vtype),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        ts_us = (
+            t[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        wstart = (ts_us // w_us) * w_us
+        t = t.append_column("__w", pa.array(wstart, pa.int64()))
+        t = t.sort_by(
+            [
+                (user_col, "ascending"),
+                ("__w", "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        w = t["__w"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(t), bool)
+        change[0] = True
+        change[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(t))
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vn = v.to_numpy(zero_copy_only=False)
+        uarr = t[user_col]
+        if isinstance(uarr, pa.ChunkedArray):
+            uarr = uarr.combine_chunks()
+        return pa.table(
+            {
+                user_col: uarr.take(pa.array(starts)),
+                "window_start": pa.array(
+                    w[starts].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "open": v.take(pa.array(starts)),
+                "high": pa.array(np.maximum.reduceat(vn, starts), vtype),
+                "low": pa.array(np.minimum.reduceat(vn, starts), vtype),
+                "close": v.take(pa.array(ends - 1)),
+                "n": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return keyed_map(ds, user_col, _bucket)

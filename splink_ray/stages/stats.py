@@ -1405,3 +1405,130 @@ def grouped_entropy(
         )
 
     return keyed_map(partials, group_col, _merge, num_buckets=num_buckets)
+
+
+def binned_histogram(ds, value_col: str, width: float, group_col: str | None = None):
+    """Fixed-width value histogram — ``bin = floor(value / width)`` counts,
+    optionally per group. The profiling shape ("what does this column's
+    distribution look like") at any scale: per-batch partials pre-aggregate
+    to (group, bin) counts, so the only exchange is the tiny
+    ``groupby().aggregate`` over the bin domain — row-count independent.
+    ``floor`` of an exact double division matches any SQL engine bitwise.
+    Returns (group_col?, bin, bin_lo, n) with ``bin_lo = bin × width``."""
+    from ray.data.aggregate import Sum
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    keys = ([group_col] if group_col else []) + ["bin"]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vn = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(vn / width).astype(np.int64)
+        sub = {}
+        if group_col:
+            sub[group_col] = t[group_col]
+        sub["bin"] = pa.array(b, pa.int64())
+        g = pa.table(sub).group_by(keys, use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(keys + ["n"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _lo(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "bin" not in t.column_names:
+            cols = {}
+            if group_col:
+                cols[group_col] = pa.array([], pa.string())
+            cols["bin"] = pa.array([], pa.int64())
+            cols["bin_lo"] = pa.array([], pa.float64())
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        b = t["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("bin_lo", pa.array(b * width, pa.float64()))
+
+    return agg.map_batches(_lo, batch_format="pyarrow")
+
+
+def grouped_ntile(ds, group_col: str, order_cols, n: int, num_buckets=None):
+    """``NTILE(n) OVER (PARTITION BY g ORDER BY o...)`` — SQL tile
+    assignment: the first ``count % n`` tiles get ``ceil(count/n)`` rows,
+    the rest ``floor(count/n)``. ``(group, *order_cols)`` must be unique
+    (ties make NTILE nondeterministic in SQL too). ONE group-keyed
+    exchange; in-bucket one sort + vectorized per-run rank arithmetic."""
+    from .exchange import group_starts, keyed_map
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("tile", pa.array([], pa.int64()))
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        t = t.take(idx)
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = group_starts(g)
+        lens = np.diff(np.append(starts, len(t)))
+        cnt = np.repeat(lens, lens).astype(np.int64)
+        r0 = np.arange(len(t), dtype=np.int64) - np.repeat(starts, lens)
+        q, r = cnt // n, cnt % n
+        big = (q + 1) * r  # rows covered by the r larger tiles
+        tile = np.where(
+            r0 < big,
+            r0 // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (r0 - big) // np.maximum(q, 1), 0),
+        ) + 1
+        return t.append_column("tile", pa.array(tile, pa.int64()))
+
+    return keyed_map(ds, group_col, _bucket, num_buckets=num_buckets)
+
+
+def iqr_outliers(ds, group_col: str, value_col: str, k: float = 1.5, num_buckets=None):
+    """Per-group IQR outlier rows: values outside ``[q1 − k·IQR, q3 +
+    k·IQR]`` where q1/q3 are the EXACT nearest-rank quartiles of the
+    integer-valued ``value_col`` (``quantile_disc`` semantics, from
+    :func:`grouped_quantiles`). The fences are one tiny per-group table,
+    broadcast once via ``ray.put``; the corpus then streams through a
+    vectorized gate — no second exchange. Fence arithmetic is double ops
+    on exact integers (``k·IQR`` exact for k = 1.5), so the comparison
+    matches a SQL engine bitwise. Returns the outlier rows unchanged."""
+    from .exchange import broadcast as bcast
+
+    q = grouped_quantiles(
+        ds, group_col, value_col, qs=(0.25, 0.75), num_buckets=num_buckets
+    ).take_all()
+    keys = [r[group_col] for r in q]
+    q1 = np.array([r["q25"] for r in q], np.float64)
+    q3 = np.array([r["q75"] for r in q], np.float64)
+    iqr = q3 - q1
+    ref = bcast((pa.array(keys), q1 - k * iqr, q3 + k * iqr))
+
+    def _gate(t: pa.Table) -> pa.Table:
+        from .blocking import _fetch_broadcast
+
+        gk, lo, hi = _fetch_broadcast(ref)
+        pos = pc.fill_null(pc.index_in(t[group_col], value_set=gk), -1)
+        pos = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vn = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        # pos == -1: null/unseen group -> excluded (SQL inner-join fences)
+        mask = (pos >= 0) & ((vn < lo[pos]) | (vn > hi[pos]))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
