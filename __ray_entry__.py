@@ -2978,6 +2978,40 @@ def q_iqr_outliers_events(sf_dir: str):
     )
 
 
+def q_snapshot_diff_customer(sf_dir: str):
+    """CDC-style snapshot diff — customers vs a deterministically-derived
+    'today' snapshot (keys %13 dropped, acctbal +1 where %7, keys %17
+    re-added at +10M): one key-hash exchange, per-key vectorized
+    added/removed/changed classification with IS NOT DISTINCT FROM value
+    compare (stages/setops.py::snapshot_diff)."""
+    from splink_ray.stages.setops import snapshot_diff
+
+    cust = _ds(sf_dir, "customer")
+
+    def _new(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kn = k.to_numpy(zero_copy_only=False)
+        base = t.filter(pa.array(kn % 13 != 0))
+        bk = base["c_custkey"].to_numpy(zero_copy_only=False)
+        bal = base["c_acctbal"].to_numpy(zero_copy_only=False)
+        base = base.drop_columns(["c_acctbal"]).append_column(
+            "c_acctbal",
+            pa.array(np.where(bk % 7 == 0, bal + 1.0, bal), pa.float64()),
+        )
+        added = t.filter(pa.array(kn % 17 == 0))
+        ak = added["c_custkey"].to_numpy(zero_copy_only=False)
+        added = added.drop_columns(["c_custkey"]).append_column(
+            "c_custkey", pa.array(ak + 10_000_000, pa.int64())
+        )
+        order = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        return pa.concat_tables([base.select(order), added.select(order)])
+
+    new = cust.map_batches(_new, batch_format="pyarrow")
+    return snapshot_diff(cust, new, "c_custkey")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3229,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_events": q_value_histogram_events,
         "ntile_events": q_ntile_events,
         "iqr_outliers_events": q_iqr_outliers_events,
+        "snapshot_diff_customer": q_snapshot_diff_customer,
     }
 
 
@@ -4932,5 +4967,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.event_type, c.cents FROM c JOIN q "
             "USING (event_type) WHERE c.cents < q.q1 - 1.5 * (q.q3 - q.q1) "
             "OR c.cents > q.q3 + 1.5 * (q.q3 - q.q1)"
+        ),
+        "snapshot_diff_customer": (
+            # the same deterministic 'today' snapshot, FULL OUTER JOIN,
+            # NEW values for added/changed and OLD values for removed
+            "WITH n AS ("
+            "SELECT c_custkey, c_name, c_nationkey, "
+            "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 "
+            "ELSE c_acctbal END AS c_acctbal, c_mktsegment "
+            "FROM customer WHERE c_custkey % 13 <> 0 "
+            "UNION ALL "
+            "SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, "
+            "c_mktsegment FROM customer WHERE c_custkey % 17 = 0) "
+            "SELECT "
+            "CASE WHEN n.c_custkey IS NULL THEN o.c_custkey "
+            "ELSE n.c_custkey END AS c_custkey, "
+            "CASE WHEN n.c_custkey IS NULL THEN o.c_name "
+            "ELSE n.c_name END AS c_name, "
+            "CASE WHEN n.c_custkey IS NULL THEN o.c_nationkey "
+            "ELSE n.c_nationkey END AS c_nationkey, "
+            "CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal "
+            "ELSE n.c_acctbal END AS c_acctbal, "
+            "CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment "
+            "ELSE n.c_mktsegment END AS c_mktsegment, "
+            "CASE WHEN o.c_custkey IS NULL THEN 'added' "
+            "WHEN n.c_custkey IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change "
+            "FROM customer o FULL JOIN n ON o.c_custkey = n.c_custkey "
+            "WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR NOT ("
+            "o.c_name IS NOT DISTINCT FROM n.c_name AND "
+            "o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey AND "
+            "o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal AND "
+            "o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)"
         ),
     }

@@ -145,3 +145,131 @@ def except_all(a, b, columns=None, num_buckets=None):
 def intersect_all(a, b, columns=None, num_buckets=None):
     """SQL ``a INTERSECT ALL b``: each row min(n_a, n_b) times."""
     return _set_op(a, b, columns, "intersect_all", num_buckets)
+
+
+def snapshot_diff(
+    old,
+    new,
+    key_cols,
+    compare_cols=None,
+    include_unchanged: bool = False,
+    num_buckets=None,
+):
+    """CDC-style diff of two snapshots of a keyed table: one output row
+    per key with ``change`` ∈ {'added', 'removed', 'changed'} (and
+    'unchanged' when ``include_unchanged``) — the "what moved between
+    yesterday's crawl and today's" shape.
+
+    Keys must be unique within each snapshot (a primary key — the usual
+    CDC contract; duplicate keys raise in-bucket). Value comparison uses
+    IS NOT DISTINCT FROM semantics (NULL equals NULL), per column over
+    ``compare_cols`` (default: all non-key columns of ``old``).
+
+    Plan: both sides project to key+compare columns, tag a side byte,
+    union; ONE exchange on the key hash co-locates each key's (at most
+    two) rows; in-bucket a single sort by (keys, side) leaves old/new
+    adjacent and every classification is a vectorized run-length +
+    column-equality pass. Output carries the NEW side's values for
+    added/changed/unchanged and the OLD side's for removed."""
+    from .exchange import hash_values, keyed_map
+    from .joins import _as_schema
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    so = _as_schema(old)
+    if compare_cols is None:
+        compare_cols = [c for c in so.names if c not in keys]
+    cols = keys + list(compare_cols)
+    types = [so.field(c).type for c in cols]
+    out_names = cols + ["change"]
+    out_empty = pa.table(
+        [pa.array([], ty) for ty in types] + [pa.array([], pa.string())],
+        names=out_names,
+    )
+
+    def _prep(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            arrs = []
+            for c, ty in zip(cols, types):
+                a = t[c]
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                arrs.append(a if a.type == ty else a.cast(ty))
+            h = hash_values(arrs[0])
+            for a in arrs[1 : len(keys)]:
+                h = h * np.uint64(1000003) ^ hash_values(a)
+            arrs.append(pa.array(np.full(len(t), side, np.int8)))
+            arrs.append(pa.array(h, pa.uint64()))
+            return pa.table(arrs, names=cols + [_SIDE, _RH])
+
+        return _f
+
+    union = old.map_batches(_prep(0), batch_format="pyarrow").union(
+        new.map_batches(_prep(1), batch_format="pyarrow")
+    )
+
+    def _not_distinct(a: pa.Array, b: pa.Array) -> np.ndarray:
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        return np.asarray(pc.or_(eq, both_null))
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_empty
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(c, "ascending") for c in keys] + [(_SIDE, "ascending")],
+        )
+        t = t.take(idx)
+        n = len(t)
+        kcols = [
+            t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            for c in keys
+        ]
+        same_key = np.ones(n - 1, bool)
+        for a in kcols:
+            same_key &= _not_distinct(a.slice(0, n - 1), a.slice(1, n))
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = ~same_key
+        starts = np.nonzero(change)[0]
+        lens = np.diff(np.append(starts, n))
+        if (lens > 2).any():
+            raise ValueError(
+                "snapshot_diff requires unique keys per snapshot; "
+                f"found a key with {int(lens.max())} rows"
+            )
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        pair = lens == 2  # sorted by side -> starts is old, starts+1 is new
+        if pair.any() and (
+            (side[starts[pair]] != 0) | (side[starts[pair] + 1] != 1)
+        ).any():
+            raise ValueError(
+                "snapshot_diff requires unique keys per snapshot; "
+                "found a key duplicated within one snapshot"
+            )
+        solo_side = side[starts]  # valid where lens == 1
+        labels = np.empty(len(starts), object)
+        pick = starts.copy()  # row whose values we emit
+        labels[~pair & (solo_side == 0)] = "removed"
+        labels[~pair & (solo_side == 1)] = "added"
+        if pair.any():
+            o_idx, n_idx = starts[pair], starts[pair] + 1
+            equal = np.ones(int(pair.sum()), bool)
+            for c in compare_cols:
+                a = t[c]
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                equal &= _not_distinct(
+                    a.take(pa.array(o_idx)), a.take(pa.array(n_idx))
+                )
+            labels[np.nonzero(pair)[0]] = np.where(equal, "unchanged", "changed")
+            pick[pair] = n_idx  # emit NEW values for present keys
+        out = t.select(cols).take(pa.array(pick))
+        out = out.append_column(
+            "change", pa.array(labels.astype(str), pa.string())
+        )
+        if not include_unchanged:
+            out = out.filter(pc.not_equal(out["change"], "unchanged"))
+        return out
+
+    return keyed_map(union, _RH, _bucket, num_buckets=num_buckets)

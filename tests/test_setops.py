@@ -73,3 +73,40 @@ def test_setop_column_projection(ray_session):
     ).to_pandas()
     assert sorted(out["x"].tolist()) == [1, 2]
     assert list(out.columns) == ["x"]
+
+
+def test_snapshot_diff_classification(ray_session):
+    from splink_ray.stages.setops import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": ["a", "b", "c", None], "w": [10, 20, 30, 40]}
+    )
+    new = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "v": ["b", "C", None, "e"], "w": [20, 30, 40, 50]}
+    )
+    out = (
+        snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # k=1 removed; k=2 unchanged (omitted); k=3 changed (v); k=4 unchanged
+    # via NULL IS NOT DISTINCT FROM NULL; k=5 added
+    assert out["change"].to_dict() == {1: "removed", 3: "changed", 5: "added"}
+    assert out.loc[3, "v"] == "C"  # NEW side's values for changed rows
+    full = (
+        snapshot_diff(
+            rd.from_pandas(old), rd.from_pandas(new), "k", include_unchanged=True
+        )
+        .to_pandas()
+    )
+    assert (full["change"] == "unchanged").sum() == 2
+
+
+def test_snapshot_diff_duplicate_key_raises(ray_session):
+    from splink_ray.stages.setops import snapshot_diff
+
+    old = pd.DataFrame({"k": [1, 1], "v": [1, 2]})
+    new = pd.DataFrame({"k": [1], "v": [1]})
+    with pytest.raises(Exception):
+        snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k").to_pandas()
