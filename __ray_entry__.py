@@ -3012,6 +3012,53 @@ def q_snapshot_diff_customer(sf_dir: str):
     return snapshot_diff(cust, new, "c_custkey")
 
 
+def q_props_k_stats(sf_dir: str):
+    """JSON field extraction + rollup — the telemetry-props shape: the
+    integer ``k`` is pulled out of the props JSON with ONE compiled-regex
+    pass (functions/text.py::json_int_field, no per-row json.loads), then
+    n/sum/min/max per event type via per-batch partials and one tiny
+    groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from splink_ray.functions.text import json_int_field
+
+    ev = _ds(sf_dir, "events", ["event_type", "props"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = json_int_field(t["props"], "k")
+        g = (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by(["event_type"], use_threads=False)
+            .aggregate(
+                [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")]
+            )
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: top-2 principal-component scores per embedding —
+    streaming (n, Σx, Σxxᵀ) moment fold, driver-local d×d eigh with
+    canonical signs, broadcast projection matmul
+    (stages/ann.py::pca_project). No SQL oracle (eigendecomposition);
+    rows-only driver check + numpy-reference test."""
+    from splink_ray.stages.ann import pca_project
+
+    emb = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(emb, "embedding", "vec_id", k=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3264,6 +3311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": q_ntile_events,
         "iqr_outliers_events": q_iqr_outliers_events,
         "snapshot_diff_customer": q_snapshot_diff_customer,
+        "props_k_stats": q_props_k_stats,
+        "pca_embeddings": q_pca_embeddings,
     }
 
 
@@ -4999,5 +5048,12 @@ def oracle_sql() -> dict[str, str]:
             "o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey AND "
             "o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal AND "
             "o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)"
+        ),
+        "props_k_stats": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(props ->> 'k' AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, "
+            "max(k) AS max_k FROM x GROUP BY event_type"
         ),
     }

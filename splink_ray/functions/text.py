@@ -161,3 +161,19 @@ def fingerprint(texts, window: int = 4) -> np.ndarray:
             else f"{m32[i]:08x}{w16[i]:04x}{f16[i]:04x}"
         )
     return out
+
+
+def json_int_field(texts, field: str) -> pa.Array:
+    """Extract an integer field from a flat JSON-object string column,
+    fully vectorized (one compiled-regex pass via ``pc.extract_regex`` —
+    no per-row json.loads). Returns int64 with nulls where the field is
+    absent or non-integer. Matches SQL ``json_extract(x, '$.field')``
+    for flat objects with unquoted integer values (the telemetry-props
+    shape); nested objects need a real JSON parser upstream."""
+    import re
+
+    arr = _as_array(texts)
+    pat = '"' + re.escape(field) + '"\\s*:\\s*(?P<v>-?\\d+)'
+    ext = pc.extract_regex(arr, pattern=pat)
+    v = pc.struct_field(ext, "v")
+    return pc.cast(v, pa.int64())

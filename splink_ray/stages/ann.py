@@ -261,6 +261,12 @@ def vecs_to_numpy(col, dtype=np.float64) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype)
+    if isinstance(col, pa.ExtensionArray):
+        # Ray's ArrowTensorType (from_pandas of ndarray cells) — already
+        # a dense (n, d) block; list_flatten has no kernel for it
+        return np.asarray(col.to_numpy(zero_copy_only=False)).astype(
+            dtype, copy=False
+        ).reshape(n, -1)
     flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     return flat.astype(dtype, copy=False).reshape(n, -1)
 
@@ -563,3 +569,97 @@ def embedding_covariance(
             "cov": pa.array(round_half_away(cov, decimals), pa.float64()),
         }
     )
+
+
+def pca_project(ds, vec_col: str, id_col: str, k: int = 2, ndigits: int = 6):
+    """Distributed PCA projection: per-row scores on the top-``k``
+    principal components of the embedding column — the classic
+    visualize/compress/whiten step before clustering or dedup.
+
+    Two streaming passes, both vectorized:
+
+    1. moments — per-batch partials ``(n, Σx, Σxxᵀ)`` (one row of
+       ``1 + d + d²`` doubles per batch, row-count independent; ~33 KB at
+       d=64) fold on the driver via ``iter_batches``; the d×d covariance
+       ``Σxxᵀ/n − μμᵀ`` and its ``eigh`` are driver-local (d is small —
+       embedding width, not data size). Component signs are canonicalized
+       (largest-|loading| coordinate made positive) so results don't flip
+       run to run.
+    2. projection — components broadcast once via ``ray.put``; each batch
+       computes ``(X − μ) @ W`` with one matmul.
+
+    No SQL oracle (eigendecomposition isn't SQL-expressible) — the driver
+    records the rows-only check; numerical parity is covered by the
+    numpy-reference test. Returns (id_col, pc1..pck) rounded to
+    ``ndigits``."""
+    import ray
+
+    def _moments(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "s": pa.array([[]], pa.list_(pa.float64())),
+                    "ss": pa.array([[]], pa.list_(pa.float64())),
+                    "d": pa.array([0], pa.int64()),
+                }
+            )
+        X = vecs_to_numpy(t[vec_col])
+        d = X.shape[1]
+        s = X.sum(axis=0)
+        ss = X.T @ X
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "ss": pa.array([ss.ravel().tolist()], pa.list_(pa.float64())),
+                "d": pa.array([d], pa.int64()),
+            }
+        )
+
+    n_tot, s_tot, ss_tot, d = 0, None, None, None
+    for b in ds.map_batches(_moments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in range(len(b)):
+            bn = b["n"][row].as_py()
+            if bn == 0:
+                continue
+            bd = b["d"][row].as_py()
+            bs = np.asarray(b["s"][row].as_py(), np.float64)
+            bss = np.asarray(b["ss"][row].as_py(), np.float64).reshape(bd, bd)
+            if s_tot is None:
+                d, s_tot, ss_tot = bd, bs, bss
+            else:
+                s_tot += bs
+                ss_tot += bss
+            n_tot += bn
+    if n_tot == 0:
+        raise ValueError("pca_project: empty input")
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    mu = s_tot / n_tot
+    cov = ss_tot / n_tot - np.outer(mu, mu)
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)
+    W = v[:, ::-1][:, :k]  # eigh is ascending; take top-k
+    for j in range(k):  # canonical sign: largest-|loading| positive
+        i = int(np.abs(W[:, j]).argmax())
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    ref = broadcast({"mu": mu, "W": W})
+
+    def _project(t: pa.Table) -> pa.Table:
+        from .blocking import _fetch_broadcast
+
+        m = _fetch_broadcast(ref)
+        X = vecs_to_numpy(t[vec_col])
+        S = (X - m["mu"]) @ m["W"]
+        cols = {id_col: t[id_col]}
+        for j in range(k):
+            cols[f"pc{j + 1}"] = pa.array(
+                round_half_away(S[:, j], ndigits) + 0.0, pa.float64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(_project, batch_format="pyarrow")
