@@ -3059,6 +3059,53 @@ def q_pca_embeddings(sf_dir: str):
     return pca_project(emb, "embedding", "vec_id", k=2)
 
 
+def q_chi_square_orders(sf_dir: str):
+    """Pearson chi-square + Cramér's V between order priority and status —
+    grid-free Σo²/e − n over observed cells only; counts-only exchange,
+    |A|·|B| cells fold on the driver
+    (stages/stats.py::categorical_association)."""
+    from splink_ray.stages.stats import categorical_association
+
+    return categorical_association(
+        _ds(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+def q_weighted_mean_lineitem(sf_dir: str):
+    """Revenue-weighted average quantity per return flag — exact integer
+    Σ v·w / Σ w per group, one partials-only exchange
+    (stages/stats.py::grouped_weighted_mean)."""
+    from splink_ray.stages.stats import grouped_weighted_mean
+
+    li = _ds(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def _ints(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+        p = np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pa.array(
+                    round_half_away(q, 0).astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    round_half_away(p * 100.0, 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_weighted_mean(
+        li.map_batches(_ints, batch_format="pyarrow"),
+        "l_returnflag", "qty", "cents",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3313,6 +3360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_customer": q_snapshot_diff_customer,
         "props_k_stats": q_props_k_stats,
         "pca_embeddings": q_pca_embeddings,
+        "chi_square_orders": q_chi_square_orders,
+        "weighted_mean_lineitem": q_weighted_mean_lineitem,
     }
 
 
@@ -5055,5 +5104,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, "
             "max(k) AS max_k FROM x GROUP BY event_type"
+        ),
+        "chi_square_orders": (
+            # grid-free chi-square: zero cells contribute exactly e, which
+            # the "- n" absorbs; only observed cells are enumerated
+            "WITH o AS (SELECT o_orderpriority AS a, o_orderstatus AS b, "
+            "count(*)::DOUBLE AS c FROM orders GROUP BY a, b), "
+            "ra AS (SELECT a, sum(c) AS na FROM o GROUP BY a), "
+            "rb AS (SELECT b, sum(c) AS nb FROM o GROUP BY b), "
+            "t AS (SELECT sum(c) AS n FROM o), "
+            "chi AS (SELECT sum(o.c * o.c / (ra.na * rb.nb / t.n)) - "
+            "max(t.n) AS chi2, max(t.n) AS n FROM o "
+            "JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t), "
+            "d AS (SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) "
+            "AS dof, least(count(DISTINCT a) - 1, count(DISTINCT b) - 1) "
+            "AS mindim FROM o) "
+            "SELECT round(chi.chi2, 6) + 0.0 AS chi2, "
+            "CAST(d.dof AS BIGINT) AS dof, "
+            "round(sqrt(chi.chi2 / (chi.n * d.mindim)), 6) + 0.0 "
+            "AS cramers_v, CAST(chi.n AS BIGINT) AS n "
+            "FROM chi CROSS JOIN d"
+        ),
+        "weighted_mean_lineitem": (
+            "WITH x AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity) AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS w "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "round(CAST(sum(q * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) "
+            "+ 0.0 AS wmean FROM x GROUP BY l_returnflag"
         ),
     }

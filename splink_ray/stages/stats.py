@@ -1532,3 +1532,137 @@ def iqr_outliers(ds, group_col: str, value_col: str, k: float = 1.5, num_buckets
         return t.filter(pa.array(mask))
 
     return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+def categorical_association(ds, col_a: str, col_b: str, ndigits: int = 6):
+    """Pearson chi-square independence statistic + Cramér's V between two
+    categorical columns — the "are these two fields related" profiling
+    probe. Uses the grid-free identity ``χ² = Σ_nonzero o²/e − n`` (zero
+    cells contribute exactly their expectation, which the subtraction
+    absorbs), so only OBSERVED cells are ever enumerated.
+
+    Scale shape: per-batch (a, b, count) partials → one tiny cell-domain
+    ``groupby().aggregate`` → the |A|·|B| nonzero cells fold on the driver
+    (categorical domains are small by definition; a high-cardinality
+    column here is a modeling error, not a scaling problem). Returns one
+    row: (chi2, dof, cramers_v, n) — counts exact ints, the two float
+    stats rounded to ``ndigits``."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels import round_half_away
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([col_a, col_b])
+            .group_by([col_a, col_b], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([col_a, col_b, "c"])
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([col_a, col_b])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    a = np.array([r[col_a] for r in cells])
+    b = np.array([r[col_b] for r in cells])
+    o = np.array([r["c"] for r in cells], np.float64)
+    n = o.sum()
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    na = np.bincount(ia, weights=o)
+    nb = np.bincount(ib, weights=o)
+    chi2 = float((o * o / (na[ia] * nb[ib] / n)).sum() - n)
+    dof = (len(ua) - 1) * (len(ub) - 1)
+    mindim = min(len(ua) - 1, len(ub) - 1)
+    v = float(np.sqrt(chi2 / (n * mindim))) if mindim > 0 else 0.0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "chi2": pa.array(
+                    [float(round_half_away(np.array([chi2]), ndigits)[0]) + 0.0],
+                    pa.float64(),
+                ),
+                "dof": pa.array([dof], pa.int64()),
+                "cramers_v": pa.array(
+                    [float(round_half_away(np.array([v]), ndigits)[0]) + 0.0],
+                    pa.float64(),
+                ),
+                "n": pa.array([int(n)], pa.int64()),
+            }
+        )
+    )
+
+
+def grouped_weighted_mean(
+    ds, group_col: str, value_col: str, weight_col: str, ndigits: int = 6
+):
+    """Weighted mean ``Σ v·w / Σ w`` per group for INTEGER value and
+    weight columns — both sums are exact int64, so the single double
+    division matches a SQL engine bitwise (then rounded defensively).
+    Per-batch partial products pre-aggregate; only (group, Σvw, Σw) rows
+    shuffle. Returns (group_col, n, wmean)."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels import round_half_away
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        w = t[weight_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        vn = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        wn = w.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    group_col: t[group_col],
+                    "vw": pa.array(vn * wn, pa.int64()),
+                    "w": pa.array(wn, pa.int64()),
+                }
+            )
+            .group_by([group_col], use_threads=False)
+            .aggregate([("vw", "sum"), ("w", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns([group_col, "vw", "w", "n"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("vw", alias_name="vw"),
+            Sum("w", alias_name="w"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "vw" not in t.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "wmean": pa.array([], pa.float64()),
+                }
+            )
+        vw = t["vw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wm = np.where(w != 0, vw / np.where(w != 0, w, 1.0), np.nan)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n": pc.cast(t["n"], pa.int64()),
+                "wmean": pa.array(
+                    round_half_away(wm, ndigits) + 0.0,
+                    pa.float64(),
+                    mask=~np.isfinite(wm),
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

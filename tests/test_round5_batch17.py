@@ -124,3 +124,46 @@ def test_iqr_outliers_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         out[["id", "g", "v"]].astype({"id": np.int64, "v": np.int64}), want
     )
+
+
+def test_categorical_association_matches_scipy_formula(ray_session):
+    from splink_ray.stages.stats import categorical_association
+
+    rng = np.random.default_rng(41)
+    # dependent columns -> nonzero chi2
+    a = rng.choice(["x", "y", "z"], 5000)
+    b = np.where(
+        (a == "x") & (rng.random(5000) < 0.7), "p",
+        rng.choice(["p", "q"], 5000),
+    )
+    df = pd.DataFrame({"a": a, "b": b})
+    out = categorical_association(
+        rd.from_pandas(df).repartition(6), "a", "b"
+    ).to_pandas()
+    # dense reference over the full contingency grid
+    ct = pd.crosstab(df["a"], df["b"]).to_numpy().astype(float)
+    n = ct.sum()
+    e = np.outer(ct.sum(1), ct.sum(0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    assert abs(out.loc[0, "chi2"] - chi2) < 1e-5
+    assert out.loc[0, "dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    v = np.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    assert abs(out.loc[0, "cramers_v"] - v) < 1e-6
+    assert out.loc[0, "n"] == 5000
+
+
+def test_grouped_weighted_mean_exact(ray_session):
+    from splink_ray.stages.stats import grouped_weighted_mean
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b", "b", "b"], "v": [1, 3, 10, 0, 5], "w": [2, 2, 1, 3, 0]}
+    )
+    out = (
+        grouped_weighted_mean(rd.from_pandas(df).repartition(2), "g", "v", "w")
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert out.loc["a", "wmean"] == 2.0  # (1*2+3*2)/4
+    assert out.loc["b", "wmean"] == 2.5  # (10*1+0*3+5*0)/4
+    assert out["n"].tolist() == [2, 3]
