@@ -576,7 +576,12 @@ def test_driver_registry_invariants():
 
     q = list(e.queries())
     o = e.oracle_sql()
-    assert set(q) == set(o), sorted(set(q) ^ set(o))
+    # Every query is SQL-oracled except the explicit rows-only allowlist
+    # (genuinely non-SQL-expressible ops; the driver records a weaker
+    # rows-only check for these, and pytest pins their invariants instead).
+    rows_only = {"pca_embeddings"}  # eigendecomposition is not SQL
+    assert set(q) - set(o) == rows_only, sorted((set(q) - set(o)) ^ rows_only)
+    assert set(o) <= set(q), sorted(set(o) - set(q))
     # bpe_token_counts_docs is the canonical last never-green entry of the
     # round-5 window plan; everything registered after it is r3/r4-green
     assert q.index("bpe_token_counts_docs") <= 49
