@@ -3106,6 +3106,167 @@ def q_weighted_mean_lineitem(sf_dir: str):
     )
 
 
+def q_unpivot_lineitem(sf_dir: str):
+    """SQL UNPIVOT / melt: lineitem's four measure columns to long
+    (id_cols, name, value) rows — zero-shuffle per-batch flat transform,
+    every value a PICKED input double (stages/setops.py::unpivot)."""
+    from splink_ray.stages.setops import unpivot
+
+    li = _ds(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+    return unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q_full_outer_customer_orders(sf_dir: str):
+    """FULL OUTER JOIN driver row: per-customer order counts ⋈ rich
+    customers (c_acctbal > 5000) — unmatched rows survive on BOTH sides
+    (customers with orders but low balance / rich customers with no
+    orders), keys coalesced under the left name
+    (stages/joins.py::shuffle_join how='full_outer')."""
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.joins import shuffle_join
+
+    orders = _ds(sf_dir, "orders", ["o_custkey"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"custkey": t["o_custkey"]})
+            .group_by("custkey", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["custkey", "n_orders"])
+
+    counts = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 5000.0)).select(
+            ["c_custkey", "c_mktsegment"]
+        )
+
+    rich = cust.map_batches(_rich, batch_format="pyarrow")
+    return shuffle_join(
+        counts,
+        rich,
+        on="custkey",
+        right_on="c_custkey",
+        how="full_outer",
+        left_schema=[("custkey", pa.int64()), ("n_orders", pa.int64())],
+        right_schema=[("c_custkey", pa.int64()), ("c_mktsegment", pa.string())],
+    )
+
+
+def q_top_building_orders(sf_dir: str):
+    """TPC-H Q3-shaped composition: customer segment semi-join → orders
+    date filter → lineitem inner join → per-order revenue rollup → top 10.
+    Chains two hardened shuffle_join exchanges (left_semi then inner) with
+    per-batch partial aggregation; revenue in exact integer cents×pct so
+    the sum is order-independent and hash-exact
+    (stages/joins.py::shuffle_join composition)."""
+    from ray.data.aggregate import Sum
+
+    from splink_ray.stages.joins import shuffle_join
+
+    cutoff = pa.scalar(
+        np.datetime64("1998-01-01T00:00:00", "us"), pa.timestamp("us")
+    )
+
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _building(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        )
+
+    bcust = cust.map_batches(_building, batch_format="pyarrow")
+
+    orders = _ds(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _early(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], cutoff))
+
+    oe = orders.map_batches(_early, batch_format="pyarrow")
+    ob = shuffle_join(
+        oe,
+        bcust,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="left_semi",
+        left_schema=[
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ],
+        right_schema=[("c_custkey", pa.int64())],
+    )
+
+    li = _ds(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _late(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        p = np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
+        )
+        d = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        cents = round_half_away(p * 100.0, 0).astype(np.int64)
+        pct = round_half_away(d * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pa.array(cents * (100 - pct), pa.int64()),
+            }
+        )
+
+    ll = li.map_batches(_late, batch_format="pyarrow")
+    j = shuffle_join(
+        ll,
+        ob.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+        left_schema=[("l_orderkey", pa.int64()), ("rev", pa.int64())],
+        right_schema=[
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "o_orderdate", "rev"])
+            .group_by(["l_orderkey", "o_orderdate"], use_threads=False)
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "o_orderdate", "revenue_c"])
+
+    agg = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    return (
+        agg.sort(["revenue_c", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 → cluster assignments."""
     return q_flagship_clusters("/root/testdata/sf0.001")
@@ -3362,6 +3523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": q_pca_embeddings,
         "chi_square_orders": q_chi_square_orders,
         "weighted_mean_lineitem": q_weighted_mean_lineitem,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "full_outer_customer_orders": q_full_outer_customer_orders,
+        "top_building_orders": q_top_building_orders,
     }
 
 
@@ -5133,5 +5297,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(q * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) "
             "+ 0.0 AS wmean FROM x GROUP BY l_returnflag"
+        ),
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, "
+            "l_quantity AS value FROM lineitem WHERE l_quantity IS NOT NULL "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+            "l_extendedprice FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+            "l_discount FROM lineitem WHERE l_discount IS NOT NULL "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+            "l_tax FROM lineitem WHERE l_tax IS NOT NULL"
+        ),
+        "full_outer_customer_orders": (
+            "SELECT COALESCE(o.custkey, c.c_custkey) AS custkey, "
+            "o.n_orders, c.c_mktsegment "
+            "FROM (SELECT o_custkey AS custkey, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1) o "
+            "FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_acctbal > 5000) c ON o.custkey = c.c_custkey"
+        ),
+        "top_building_orders": (
+            "SELECT l.l_orderkey, o.o_orderdate, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+            "AND EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_mktsegment = 'BUILDING') "
+            "GROUP BY 1, 2 ORDER BY revenue_c DESC, l.l_orderkey LIMIT 10"
         ),
     }

@@ -125,8 +125,13 @@ def shuffle_join(
     ``remove_dup_spans`` (stages/corpus.py) adopted for the same reason.
 
     Semantics match ``Dataset.join`` for equi-joins: ``how`` is ``"inner"``,
-    ``"left_outer"``, ``"left_semi"`` (left rows with at least one match,
-    emitted at most once — SQL ``EXISTS``) or ``"left_anti"`` (left rows
+    ``"left_outer"``, ``"full_outer"`` (unmatched rows of BOTH sides
+    survive with nulls on the other side; key columns are coalesced under
+    the LEFT names, so a right-only row carries its key value there —
+    SQL ``COALESCE(l.k, r.k)``; null-key rows on either side never match
+    and are emitted unmatched, like SQL), ``"left_semi"`` (left rows with
+    at least one match, emitted at most once — SQL ``EXISTS``) or
+    ``"left_anti"`` (left rows
     with no match — SQL ``NOT EXISTS``; null-key left rows survive, since
     null never equals anything). Semi/anti output only the LEFT columns and
     ship only the right KEY columns through the exchange (right values are
@@ -149,9 +154,10 @@ def shuffle_join(
     """
     from .exchange import hash_values, keyed_map
 
-    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+    if how not in ("inner", "left_outer", "full_outer", "left_semi", "left_anti"):
         raise ValueError(
-            "how must be 'inner', 'left_outer', 'left_semi' or 'left_anti'"
+            "how must be 'inner', 'left_outer', 'full_outer', 'left_semi' "
+            "or 'left_anti'"
         )
     filtering = how in ("left_semi", "left_anti")
     keys = [on] if isinstance(on, str) else list(on)
@@ -239,6 +245,7 @@ def shuffle_join(
     arrow_how = {
         "inner": "inner",
         "left_outer": "left outer",
+        "full_outer": "full outer",
         "left_semi": "left semi",
         "left_anti": "left anti",
     }[how]
@@ -247,13 +254,21 @@ def shuffle_join(
     def _bucket_join(t: pa.Table) -> pa.Table:
         side = t["__side"]
         lt = t.filter(pc.equal(side, 0)).select(keys + lval_names)
-        if len(lt) == 0:
-            return empty_out
         rt = (
             t.filter(pc.equal(side, 1))
             .select(keys + rval_out)
             .rename_columns(rk_tmp + rval_out)
         )
+        if len(lt) == 0:
+            if how == "full_outer" and len(rt) > 0:
+                # right-only bucket: keys surface under the left names
+                return pa.table(
+                    [rt[k] for k in rk_tmp]
+                    + [pa.nulls(len(rt), ty) for ty in lval_types]
+                    + [rt[c] for c in rval_out],
+                    names=out_names,
+                )
+            return empty_out
         if len(rt) == 0:
             if how in ("inner", "left_semi"):
                 return empty_out

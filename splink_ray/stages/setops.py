@@ -273,3 +273,66 @@ def snapshot_diff(
         return out
 
     return keyed_map(union, _RH, _bucket, num_buckets=num_buckets)
+
+
+def unpivot(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+):
+    """Wide → long melt (SQL ``UNPIVOT`` / the ``UNION ALL`` of one SELECT
+    per measure column): each input row emits ``len(value_cols)`` rows of
+    ``(*id_cols, name, value)``. The feature-table normalization shape.
+
+    Pure per-batch flat transform — ZERO shuffle, row order within a batch
+    preserved per measure. All ``value_cols`` must share (or cast to) one
+    common type; every output value is a PICKED input value (no
+    arithmetic), so results are bit-exact vs a SQL engine. SQL UNPIVOT
+    drops NULL measure values — matched here with one vectorized
+    ``drop_null`` gate per measure slice.
+    """
+    def _common_type(types: list[pa.DataType]) -> pa.DataType:
+        # SQL numeric promotion: identical types pass through; any float
+        # in a numeric mix widens to float64; an all-integer mix to int64.
+        # Arrow ``null`` (an all-null pandas-origin batch column) is a
+        # wildcard — its values all drop anyway. Resolved PER BATCH, so a
+        # schema-less source whose batches disagree on the promoted type
+        # (one all-int batch, one float) must pass ``value_type``
+        # explicitly; parquet-backed datasets have one schema and never hit
+        # this.
+        types = [ty for ty in set(types) if not pa.types.is_null(ty)]
+        if not types:
+            return pa.float64()
+        if len(types) == 1:
+            return types[0]
+        if all(pa.types.is_integer(ty) or pa.types.is_floating(ty) for ty in types):
+            if any(pa.types.is_floating(ty) for ty in types):
+                return pa.float64()
+            return pa.int64()
+        raise ValueError(f"unpivot value_cols have incompatible types: {types}")
+
+    def _melt(t: pa.Table) -> pa.Table:
+        vt = value_type
+        if vt is None:
+            vt = _common_type([t.schema.field(c).type for c in value_cols])
+        n = len(t)
+        parts = []
+        for c in value_cols:
+            v = t[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            part = pa.table(
+                [t[i] for i in id_cols]
+                + [
+                    pa.array(np.full(n, c, object), pa.string()),
+                    v.cast(vt) if v.type != vt else v,
+                ],
+                names=id_cols + [var_name, value_name],
+            )
+            parts.append(part.filter(pc.is_valid(part[value_name])))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

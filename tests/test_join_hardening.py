@@ -401,3 +401,75 @@ def test_weighted_sample_excludes_nonpositive_weights(ray_session):
     )
     out = weighted_sample(rd.from_pandas(df), "id", "w", n=5).to_pandas()
     assert sorted(out["id"].tolist()) == [4, 5]
+
+
+def test_shuffle_join_full_outer_matches_duckdb(ray_session):
+    """FULL OUTER semantics vs DuckDB: unmatched rows of BOTH sides
+    survive, keys coalesce under the left name, null keys never match but
+    are emitted unmatched, duplicate keys cross-product; both sides fed
+    through a groupby (schema-less empty blocks) at num_buckets=64 ≫
+    distinct keys."""
+    import duckdb
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    left = pd.DataFrame(
+        {"k": ["a", "a", "b", "c", None], "x": [1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame(
+        {"kk": ["a", "c", "d", "d", None], "y": [10.0, 12.0, 13.0, 14.0, 15.0]}
+    )
+    # null keys can't ride Ray's groupby (its sort rejects None), so the
+    # schema-less-block hazard is injected on the right via a groupby over
+    # the non-null rows unioned with the null-key remainder; empty buckets
+    # come from num_buckets=64 ≫ 5 distinct keys either way
+    lds = rd.from_pandas(left).repartition(4)
+    rds = (
+        rd.from_pandas(right.dropna(subset=["kk"]))
+        .repartition(6)
+        .groupby("kk")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+        .union(rd.from_pandas(right[right["kk"].isna()]))
+    )
+    out = shuffle_join(
+        lds, rds, on="k", right_on="kk", how="full_outer",
+        left_schema=pa.schema([("k", pa.string()), ("x", pa.int64())]),
+        right_schema=pa.schema([("kk", pa.string()), ("y", pa.float64())]),
+        num_buckets=64,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "SELECT COALESCE(l.k, r.kk) AS k, l.x, r.y "
+        "FROM l FULL OUTER JOIN r ON l.k = r.kk"
+    ).df()
+    key = lambda df: df.fillna({"k": "~", "x": -1, "y": -1.0}).sort_values(
+        ["k", "x", "y"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(out)[exp.columns], key(exp), check_dtype=False
+    )
+    # both-side unmatched rows actually present
+    assert out["x"].isna().any() and out["y"].isna().any()
+
+
+def test_shuffle_join_full_outer_empty_sides(ray_session):
+    """full_outer with an entirely empty side degrades to the other side
+    with nulls (and keeps the declared schema when both are empty)."""
+    import ray.data as rd
+
+    from splink_ray.stages.joins import shuffle_join
+
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("y", pa.string())])
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "x": pa.array([], pa.int64())}))
+    right = rd.from_pandas(pd.DataFrame({"k": [7, 8], "y": ["a", "b"]}))
+    out = shuffle_join(
+        empty, right, on="k", how="full_outer",
+        left_schema=ls, right_schema=rs, num_buckets=16,
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "x", "y"]
+    assert sorted(out["k"]) == [7, 8] and out["x"].isna().all()

@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -110,3 +111,41 @@ def test_snapshot_diff_duplicate_key_raises(ray_session):
     new = pd.DataFrame({"k": [1], "v": [1]})
     with pytest.raises(Exception):
         snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k").to_pandas()
+
+
+def test_unpivot_matches_duckdb(ray_session):
+    """Melt parity vs a UNION-ALL oracle: null measure values drop (SQL
+    UNPIVOT semantics), mixed int/float value columns unify to the common
+    type, ids replicate per measure."""
+    import duckdb
+    import ray.data as rd
+
+    from splink_ray.stages.setops import unpivot
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "a": [1.5, None, 2.5],
+            "b": pd.array([7, 8, None], dtype="Int64"),
+        }
+    )
+    # single batch: per-batch int+float promotion resolves to float64
+    out1 = unpivot(rd.from_pandas(df), ["id"], ["a", "b"]).to_pandas()
+    # multi batch: pandas-origin batches disagree on the promoted type
+    # (an all-null 'a' slice is a null-type wildcard), so the documented
+    # contract is an explicit value_type
+    ds = rd.from_pandas(df).repartition(3)
+    out = unpivot(
+        ds, ["id"], ["a", "b"], value_type=pa.float64()
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT id, 'a' AS name, a AS value FROM t WHERE a IS NOT NULL "
+        "UNION ALL SELECT id, 'b', CAST(b AS DOUBLE) FROM t "
+        "WHERE b IS NOT NULL"
+    ).df()
+    key = lambda d: d.sort_values(["id", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(exp), check_dtype=False)
+    pd.testing.assert_frame_equal(key(out1), key(exp), check_dtype=False)
+    assert out1["value"].dtype == np.float64  # int column unified to double
