@@ -3106,6 +3106,30 @@ def q_weighted_mean_lineitem(sf_dir: str):
     )
 
 
+def q_cume_dist_docs(sf_dir: str):
+    """cume_dist() OVER (ORDER BY n_chars) alongside the rank trio — all
+    from the same (value, count) histogram exchange, no row sort
+    (stages/stats.py::rank_values include_cume)."""
+    from splink_ray.stages.stats import rank_values
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "n_chars"])
+    return rank_values(docs, "n_chars", include_cume=True)
+
+
+def q_lead_orders(sf_dir: str):
+    """LEAD(v) OVER (PARTITION BY g ORDER BY o) — the forward twin of
+    running_revenue's LAG, from the same ONE group-keyed exchange
+    (stages/stats.py::grouped_running include_lead)."""
+    from splink_ray.stages.stats import grouped_running
+
+    run = grouped_running(
+        _orders_cents(sf_dir).drop_columns(["o_orderpriority", "o_orderstatus"]),
+        "o_custkey", ["o_orderdate", "o_orderkey"], "cents",
+        include_lead=True,
+    )
+    return run.drop_columns(["o_orderdate", "running_cents", "prev_cents"])
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """SQL UNPIVOT / melt: lineitem's four measure columns to long
     (id_cols, name, value) rows — zero-shuffle per-batch flat transform,
@@ -3523,6 +3547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": q_pca_embeddings,
         "chi_square_orders": q_chi_square_orders,
         "weighted_mean_lineitem": q_weighted_mean_lineitem,
+        "cume_dist_docs": q_cume_dist_docs,
+        "lead_orders": q_lead_orders,
         "unpivot_lineitem": q_unpivot_lineitem,
         "full_outer_customer_orders": q_full_outer_customer_orders,
         "top_building_orders": q_top_building_orders,
@@ -5297,6 +5323,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(q * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) "
             "+ 0.0 AS wmean FROM x GROUP BY l_returnflag"
+        ),
+        "cume_dist_docs": (
+            "SELECT doc_id, n_chars, "
+            "rank() OVER (ORDER BY n_chars) AS rank, "
+            "dense_rank() OVER (ORDER BY n_chars) AS dense_rank, "
+            "round(percent_rank() OVER (ORDER BY n_chars), 6) AS percent_rank, "
+            "round(cume_dist() OVER (ORDER BY n_chars), 6) AS cume_dist "
+            "FROM documents"
+        ),
+        "lead_orders": (
+            "WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderkey, o_custkey, cents, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "LEAD(cents) OVER w AS next_cents "
+            "FROM c WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
         ),
         "unpivot_lineitem": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, "

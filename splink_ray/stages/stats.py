@@ -207,9 +207,13 @@ def grouped_topk(
     )
 
 
-def rank_values(ds, value_col: str, ndigits: int = 6):
+def rank_values(ds, value_col: str, ndigits: int = 6, include_cume: bool = False):
     """SQL ``rank() / dense_rank() / percent_rank() OVER (ORDER BY v)``
     over the whole dataset — distributed without ever sorting the rows.
+    ``include_cume=True`` adds ``cume_dist`` (rows with value ≤ v, peers
+    included, over total — NaN/NULL peer groups last, so null cume is 1.0)
+    from the same cumulative histogram; opt-in so existing consumers keep
+    their output schema.
 
     Scale shape (module premise): per-batch partial value counts, so the
     ONLY exchange carries (value, count) histogram rows — cardinality is
@@ -313,9 +317,21 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
         else np.zeros(len(rank), np.float64)
     )
     pr = round_half_away(pr, ndigits)
+    # cume_dist = rows ≤ v (peers included) / total, from the same
+    # cumulative histogram: plain entries (cum + n)/total, the NaN peer
+    # group ends at plain_sum + nan_total, the NULL group at total (1.0)
+    denom = float(max(total, 1))
+    cume = (cum + nvals) / denom
+    if nan_total:
+        cume = np.append(cume, (plain_sum + nan_total) / denom)
+    if null_total:
+        cume = np.append(cume, 1.0)
+    cume = round_half_away(cume, ndigits)
     if null_entry:
-        null_scalars = (int(rank[-1]), int(dense[-1]), float(pr[-1]))
-        rank, dense, pr = rank[:-1], dense[:-1], pr[:-1]
+        null_scalars = (
+            int(rank[-1]), int(dense[-1]), float(pr[-1]), float(cume[-1])
+        )
+        rank, dense, pr, cume = rank[:-1], dense[:-1], pr[:-1], cume[:-1]
     else:
         null_scalars = None
     ref = ray.put(
@@ -324,17 +340,22 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
             pa.array(rank, pa.int64()),
             pa.array(dense, pa.int64()),
             pa.array(pr, pa.float64()),
+            pa.array(cume, pa.float64()),
             null_scalars,
         )
     )
 
     def _attach(t: pa.Table) -> pa.Table:
-        vals, rk, dn, pctr, nulls = ray.get(ref)
+        vals, rk, dn, pctr, cm, nulls = ray.get(ref)
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         idx = pc.index_in(v.cast(vals.type), vals)
         cols = [rk.take(idx), dn.take(idx), pctr.take(idx)]
+        names = ["rank", "dense_rank", "percent_rank"]
+        if include_cume:
+            cols.append(cm.take(idx))
+            names.append("cume_dist")
         if nulls is not None:
             isnull = pc.is_null(v)
             fills = [
@@ -342,8 +363,10 @@ def rank_values(ds, value_col: str, ndigits: int = 6):
                 pa.scalar(nulls[1], pa.int64()),
                 pa.scalar(nulls[2], pa.float64()),
             ]
+            if include_cume:
+                fills.append(pa.scalar(nulls[3], pa.float64()))
             cols = [pc.if_else(isnull, f, c) for f, c in zip(fills, cols)]
-        for name, c in zip(("rank", "dense_rank", "percent_rank"), cols):
+        for name, c in zip(names, cols):
             t = t.append_column(name, c)
         return t
 
@@ -784,12 +807,15 @@ def grouped_running(
     order_cols,
     value_col: str,
     num_buckets=None,
+    include_lead: bool = False,
 ):
     """SQL windowed running aggregates per group — for every input row:
 
     - ``running_<v>`` = ``SUM(v) OVER (PARTITION BY g ORDER BY o...)``
     - ``prev_<v>``    = ``LAG(v)  OVER (PARTITION BY g ORDER BY o...)``
     - ``rn``          = ``ROW_NUMBER() OVER (same window)``
+    - with ``include_lead``: ``next_<v>`` = ``LEAD(v) OVER (same window)``
+      (run tails nulled; opt-in so existing consumers keep their schema)
 
     the cumulative-spend / previous-event shape. ``(group, *order_cols)``
     must be unique (so RANGE and ROWS frames coincide) and ``value_col``
@@ -809,14 +835,15 @@ def grouped_running(
 
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     run_col, prev_col = f"running_{value_col}", f"prev_{value_col}"
+    next_col = f"next_{value_col}"
 
     def _bucket(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            for name, ty in (
-                (run_col, pa.int64()),
-                (prev_col, pa.int64()),
-                ("rn", pa.int64()),
-            ):
+            names = [(run_col, pa.int64()), (prev_col, pa.int64()),
+                     ("rn", pa.int64())]
+            if include_lead:
+                names.append((next_col, pa.int64()))
+            for name, ty in names:
                 t = t.append_column(name, pa.array([], ty))
             return t
         idx = pc.sort_indices(
@@ -845,7 +872,15 @@ def grouped_running(
         head[starts] = True
         t = t.append_column(run_col, pa.array(running, pa.int64()))
         t = t.append_column(prev_col, pa.array(prev, pa.int64(), mask=head))
-        return t.append_column("rn", pa.array(rn, pa.int64()))
+        t = t.append_column("rn", pa.array(rn, pa.int64()))
+        if include_lead:
+            nxt = np.empty(len(t), np.int64)
+            nxt[:-1] = vals[1:]
+            nxt[-1] = 0
+            tail = np.zeros(len(t), bool)
+            tail[starts + lens - 1] = True  # last row of each run
+            t = t.append_column(next_col, pa.array(nxt, pa.int64(), mask=tail))
+        return t
 
     return keyed_map(ds, group_col, _bucket, num_buckets=num_buckets)
 

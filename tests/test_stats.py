@@ -303,3 +303,40 @@ def test_rank_values_nan_and_null_ranked_last(ray_session):
     # NaN block ranks 31-34 (one shared rank 31), nulls last at 35-37
     assert out.loc[30:33, "rank"].tolist() == [31] * 4
     assert out.loc[34:36, "rank"].tolist() == [35] * 3
+
+
+def test_rank_values_cume_dist_matches_duckdb(ray_session):
+    """include_cume: cume_dist (peers-inclusive ≤-fraction) vs DuckDB,
+    with ties, a NaN and a NULL — NaN is a peer group before NULL, NULL's
+    cume is 1.0; existing consumers (include_cume off) keep their schema."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from splink_ray.stages.stats import rank_values
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200),
+            "v": rng.integers(0, 9, 200).astype("float64"),
+        }
+    )
+    df.loc[3, "v"] = None
+    df.loc[11, "v"] = float("nan")
+    out = (
+        rank_values(rd.from_pandas(df).repartition(8), "v", include_cume=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.query_df(
+        df, "t",
+        "SELECT id, round(cume_dist() OVER (ORDER BY v), 6) AS cume_dist "
+        "FROM t",
+    ).df().sort_values("id").reset_index(drop=True)
+    assert out["cume_dist"].tolist() == exp["cume_dist"].tolist()
+    assert "cume_dist" in out.columns
+    plain = rank_values(rd.from_pandas(df), "v").to_pandas()
+    assert "cume_dist" not in plain.columns

@@ -590,3 +590,36 @@ def test_driver_registry_invariants():
     keys = re.findall(r'^\s+"([a-z0-9_]+)":', m.group(1), re.M)
     dupes = {k for k in keys if keys.count(k) > 1}
     assert not dupes, f"duplicate dict literals (first wins silently): {dupes}"
+
+
+def test_grouped_running_lead_matches_duckdb(ray_session):
+    """include_lead: next_v == LEAD(v) OVER the same window (run tails
+    null); default consumers keep the three-column schema."""
+    import ray.data as rd
+
+    from splink_ray.stages.stats import grouped_running
+
+    rng = np.random.default_rng(9)
+    n = 1500
+    t = pa.table(
+        {
+            "g": rng.integers(0, 40, n),
+            "k": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-9, 99, n),
+        }
+    )
+    out = grouped_running(
+        rd.from_arrow(t).repartition(6), "g", "k", "v", include_lead=True
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, k, v, "
+        "CAST(SUM(v) OVER w AS BIGINT) AS running_v, "
+        "LAG(v) OVER w AS prev_v, ROW_NUMBER() OVER w AS rn, "
+        "LEAD(v) OVER w AS next_v "
+        "FROM t WINDOW w AS (PARTITION BY g ORDER BY k)"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+    plain = grouped_running(rd.from_arrow(t), "g", "k", "v").to_pandas()
+    assert "next_v" not in plain.columns
